@@ -1,0 +1,335 @@
+"""SUNet building blocks as flax.nnx modules — NHWC, TPU-first.
+
+Design notes (vs the reference's torch modules, cited per class):
+
+- Feature maps stay (B, H, W, C) end to end; there is no (B, L, C)
+  flattening anywhere. Window partition/reverse are pure reshapes, LayerNorm
+  and MLPs act on the trailing channel axis, so XLA keeps everything in a
+  lane-friendly layout.
+- Mixed precision: matmuls/convs run in a configurable compute dtype
+  (bfloat16 by default) with fp32 accumulation; LayerNorm and softmax run
+  in fp32; parameters are stored fp32.
+- Randomness (dropout / stochastic depth) is *functional*: callers pass an
+  explicit PRNG key that is fold_in-split per block. No hidden RNG state,
+  so train steps are pure and trivially jit/shard/remat-able.
+- All resolution-dependent constants (shift masks, relative-position
+  indices) are computed from static shapes at trace time and cached
+  (sunet_tf_tpu.ops.window); nothing is stored as a buffer.
+
+Initialization matches the reference statistics: Linear weights
+trunc-normal(0.02) with zero bias (reference model/SUNet_detail.py:688-695),
+LayerNorm ones/zeros, convs torch-default kaiming-uniform(a=sqrt(5)), PReLU
+slope 0.25.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from sunet_tf_tpu.ops.image import bilinear_resize, pixel_shuffle
+from sunet_tf_tpu.ops.window import (
+    effective_window,
+    relative_position_index,
+    roll2d,
+    shift_attn_mask,
+    window_partition,
+    window_reverse,
+)
+
+# Linear/LN init used by the reference's _init_weights
+# (model/SUNet_detail.py:688-695): trunc normal std 0.02 (timm truncates at
+# +-2 absolute, i.e. +-100 sigma at std 0.02 — effectively a plain normal).
+linear_init = jax.nn.initializers.normal(stddev=0.02)
+
+
+def torch_conv_kernel_init():
+    """torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in))."""
+    return jax.nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_conv_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _dropout(x: jnp.ndarray, rate: float, key: Optional[jax.Array]) -> jnp.ndarray:
+    if rate <= 0.0 or key is None:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
+def drop_path(x: jnp.ndarray, rate: float, key: Optional[jax.Array]) -> jnp.ndarray:
+    """Per-sample stochastic depth (reference uses timm DropPath)."""
+    if rate <= 0.0 or key is None:
+        return x
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    keep = jax.random.bernoulli(key, 1.0 - rate, shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
+class PReLU(nnx.Module):
+    """Single-parameter PReLU, init 0.25 (torch nn.PReLU default)."""
+
+    def __init__(self, *, param_dtype=jnp.float32, rngs: nnx.Rngs = None):
+        self.alpha = nnx.Param(jnp.full((1,), 0.25, dtype=param_dtype))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        a = self.alpha[...].astype(x.dtype)
+        return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+
+
+class Conv1x1(nnx.Module):
+    """1x1 convolution as a channel-axis Linear (identical math, leaner IR).
+
+    Initialized like torch Conv2d so reference checkpoints import 1:1.
+    """
+
+    def __init__(self, in_ch: int, out_ch: int, *, use_bias: bool = True,
+                 dtype=None, rngs: nnx.Rngs):
+        self.lin = nnx.Linear(
+            in_ch, out_ch, use_bias=use_bias, dtype=dtype,
+            kernel_init=torch_conv_kernel_init(),
+            bias_init=torch_conv_bias_init(in_ch),
+            rngs=rngs)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.lin(x)
+
+
+class Conv3x3(nnx.Module):
+    """3x3 SAME conv, NHWC, torch-default init."""
+
+    def __init__(self, in_ch: int, out_ch: int, *, use_bias: bool = True,
+                 dtype=None, rngs: nnx.Rngs):
+        self.conv = nnx.Conv(
+            in_ch, out_ch, kernel_size=(3, 3), strides=1, padding="SAME",
+            use_bias=use_bias, dtype=dtype,
+            kernel_init=torch_conv_kernel_init(),
+            bias_init=torch_conv_bias_init(9 * in_ch),
+            rngs=rngs)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.conv(x)
+
+
+class Mlp(nnx.Module):
+    """2-layer GELU MLP (reference model/SUNet_detail.py:8-24).
+
+    GELU is the exact erf form (torch nn.GELU default), not tanh-approx.
+    """
+
+    def __init__(self, dim: int, hidden: int, *, drop: float = 0.0,
+                 dtype=None, rngs: nnx.Rngs):
+        self.fc1 = nnx.Linear(dim, hidden, kernel_init=linear_init, dtype=dtype, rngs=rngs)
+        self.fc2 = nnx.Linear(hidden, dim, kernel_init=linear_init, dtype=dtype, rngs=rngs)
+        self.drop = drop
+
+    def __call__(self, x: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
+        k1, k2 = (None, None) if key is None else tuple(jax.random.split(key))
+        x = self.fc1(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = _dropout(x, self.drop, k1)
+        x = self.fc2(x)
+        return _dropout(x, self.drop, k2)
+
+
+class WindowAttention(nnx.Module):
+    """W-MSA with learnable relative-position bias (reference
+    model/SUNet_detail.py:59-138).
+
+    - qk_scale overrides head_dim**-0.5 when set (the reference recipe uses
+      the constant 8, training.yaml:15 — exactly representable in bf16).
+    - attention logits accumulate in fp32; softmax runs in fp32.
+    - the additive 0/-100 shift mask is applied per window before softmax.
+    """
+
+    def __init__(self, dim: int, window_size: int, num_heads: int, *,
+                 qkv_bias: bool = True, qk_scale: Optional[float] = None,
+                 attn_drop: float = 0.0, proj_drop: float = 0.0,
+                 dtype=None, rngs: nnx.Rngs):
+        self.dim = dim
+        self.window_size = window_size
+        self.num_heads = num_heads
+        head_dim = dim // num_heads
+        self.scale = float(qk_scale) if qk_scale is not None else head_dim**-0.5
+        self.qkv = nnx.Linear(dim, 3 * dim, use_bias=qkv_bias,
+                              kernel_init=linear_init, dtype=dtype, rngs=rngs)
+        self.proj = nnx.Linear(dim, dim, kernel_init=linear_init, dtype=dtype, rngs=rngs)
+        n_rel = (2 * window_size - 1) ** 2
+        self.relative_position_bias_table = nnx.Param(
+            linear_init(rngs.params(), (n_rel, num_heads), jnp.float32))
+        self.attn_drop = attn_drop
+        self.proj_drop = proj_drop
+
+    def bias_matrix(self) -> jnp.ndarray:
+        """(num_heads, N, N) fp32 relative-position bias for this window."""
+        ws = self.window_size
+        n = ws * ws
+        idx = relative_position_index(ws, ws).reshape(-1)  # static numpy
+        table = self.relative_position_bias_table[...]  # (n_rel, h) fp32
+        bias = table[idx].reshape(n, n, self.num_heads)
+        return bias.transpose(2, 0, 1)
+
+    def __call__(self, xw: jnp.ndarray, mask: Optional[np.ndarray] = None,
+                 key: Optional[jax.Array] = None) -> jnp.ndarray:
+        """xw: (B*nW, N, C) windows; mask: static (nW, N, N) or None."""
+        Bn, N, C = xw.shape
+        h, d = self.num_heads, C // self.num_heads
+        k1, k2 = (None, None) if key is None else tuple(jax.random.split(key))
+
+        qkv = self.qkv(xw).reshape(Bn, N, 3, h, d)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3) * jnp.asarray(self.scale, qkv.dtype)
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)  # (Bn, h, N, d)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn + self.bias_matrix()[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            m = jnp.asarray(mask, dtype=attn.dtype)  # (nW, N, N)
+            attn = attn.reshape(Bn // nW, nW, h, N, N) + m[None, :, None]
+            attn = attn.reshape(Bn, h, N, N)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = _dropout(attn, self.attn_drop, k1)
+
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(v.dtype).transpose(0, 2, 1, 3).reshape(Bn, N, C)
+        out = self.proj(out)
+        return _dropout(out, self.proj_drop, k2)
+
+
+class SwinBlock(nnx.Module):
+    """Swin transformer block: LN -> (shift) -> W-MSA -> (unshift) ->
+    residual -> LN -> MLP -> residual (reference model/SUNet_detail.py:157-264).
+
+    The effective (window, shift) pair is resolved at build time from the
+    stage's input resolution (auto-degrade rule, reference :186-190), and the
+    SW-MSA mask is rebuilt at call time from the *actual* static input shape,
+    so the block generalizes to any resolution divisible by the window
+    (unlike the reference, whose ctor-time buffers pinned it to IMG_SIZE).
+    """
+
+    def __init__(self, dim: int, input_resolution: tuple, num_heads: int, *,
+                 window_size: int, shift_size: int, mlp_ratio: float = 4.0,
+                 qkv_bias: bool = True, qk_scale: Optional[float] = None,
+                 drop: float = 0.0, attn_drop: float = 0.0,
+                 drop_path_rate: float = 0.0, dtype=None, rngs: nnx.Rngs):
+        ws, ss = effective_window(input_resolution, window_size, shift_size)
+        self.window_size = ws
+        self.shift_size = ss
+        self.dim = dim
+        self.norm1 = nnx.LayerNorm(dim, epsilon=1e-5, dtype=jnp.float32, rngs=rngs)
+        self.attn = WindowAttention(
+            dim, ws, num_heads, qkv_bias=qkv_bias, qk_scale=qk_scale,
+            attn_drop=attn_drop, proj_drop=drop, dtype=dtype, rngs=rngs)
+        self.norm2 = nnx.LayerNorm(dim, epsilon=1e-5, dtype=jnp.float32, rngs=rngs)
+        self.mlp = Mlp(dim, int(dim * mlp_ratio), drop=drop, dtype=dtype, rngs=rngs)
+        self.drop_path_rate = drop_path_rate
+
+    def __call__(self, x: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        ws, ss = self.window_size, self.shift_size
+        assert H % ws == 0 and W % ws == 0, (
+            f"resolution ({H},{W}) not divisible by window {ws}")
+        ka, km, kd1, kd2 = (None,) * 4 if key is None else tuple(jax.random.split(key, 4))
+
+        shortcut = x
+        x = self.norm1(x).astype(shortcut.dtype)
+        x = roll2d(x, -ss)
+        xw = window_partition(x, ws)
+        mask = shift_attn_mask(H, W, ws, ss) if ss > 0 else None
+        xw = self.attn(xw, mask, key=ka)
+        x = window_reverse(xw, ws, H, W)
+        x = roll2d(x, ss)
+        x = shortcut + drop_path(x, self.drop_path_rate, kd1)
+        y = self.mlp(self.norm2(x).astype(x.dtype), key=km)
+        return x + drop_path(y, self.drop_path_rate, kd2)
+
+
+class PatchMerging(nnx.Module):
+    """2x2 space-to-depth -> LN(4C) -> Linear(4C->2C, no bias) downsample
+    (reference model/SUNet_detail.py:285-322). Gather order [x0,x1,x2,x3] =
+    [(even,even),(odd,even),(even,odd),(odd,odd)] is load-bearing for
+    checkpoint import parity.
+    """
+
+    def __init__(self, dim: int, *, dtype=None, rngs: nnx.Rngs):
+        self.norm = nnx.LayerNorm(4 * dim, epsilon=1e-5, dtype=jnp.float32, rngs=rngs)
+        self.reduction = nnx.Linear(4 * dim, 2 * dim, use_bias=False,
+                                    kernel_init=linear_init, dtype=dtype, rngs=rngs)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        assert H % 2 == 0 and W % 2 == 0, f"({H},{W}) not even"
+        x0 = x[:, 0::2, 0::2, :]
+        x1 = x[:, 1::2, 0::2, :]
+        x2 = x[:, 0::2, 1::2, :]
+        x3 = x[:, 1::2, 1::2, :]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        dtype = x.dtype
+        return self.reduction(self.norm(x).astype(dtype))
+
+
+class PatchEmbed(nnx.Module):
+    """Patch tokenizer: k=s=patch_size conv + optional LN (reference
+    model/SUNet_detail.py:518-556). In SUNet it is applied after conv_first,
+    so it maps embed_dim -> embed_dim. Output stays NHWC at (H/p, W/p).
+    """
+
+    def __init__(self, in_ch: int, embed_dim: int, patch_size: int, *,
+                 patch_norm: bool = True, dtype=None, rngs: nnx.Rngs):
+        p = patch_size
+        self.proj = nnx.Conv(
+            in_ch, embed_dim, kernel_size=(p, p), strides=(p, p), padding="VALID",
+            dtype=dtype, kernel_init=torch_conv_kernel_init(),
+            bias_init=torch_conv_bias_init(p * p * in_ch), rngs=rngs)
+        self.norm = (nnx.LayerNorm(embed_dim, epsilon=1e-5, dtype=jnp.float32, rngs=rngs)
+                     if patch_norm else None)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = self.proj(x)
+        if self.norm is not None:
+            x = self.norm(x).astype(x.dtype)
+        return x
+
+
+class DualUpsample(nnx.Module):
+    """Dual up-sample: PixelShuffle branch + bilinear branch, concat, 1x1 mix
+    (reference model/SUNet_detail.py:335-386).
+
+    factor=2: C -> C/2 at 2x resolution; factor=4: C -> C at 4x resolution.
+    Branch p: 1x1 conv expand (no bias) -> PReLU -> PixelShuffle -> 1x1 conv.
+    Branch b: 1x1 conv (bias) -> PReLU -> bilinear x{2,4} -> 1x1 conv.
+    """
+
+    def __init__(self, in_ch: int, factor: int, *, dtype=None, rngs: nnx.Rngs):
+        assert factor in (2, 4)
+        self.factor = factor
+        out_ch = in_ch // 2 if factor == 2 else in_ch
+        expand = 2 * in_ch if factor == 2 else 16 * in_ch
+        self.up_p_conv1 = Conv1x1(in_ch, expand, use_bias=False, dtype=dtype, rngs=rngs)
+        self.up_p_act = PReLU(rngs=rngs)
+        self.up_p_conv2 = Conv1x1(out_ch, out_ch, use_bias=False, dtype=dtype, rngs=rngs)
+        self.up_b_conv1 = Conv1x1(in_ch, in_ch, use_bias=True, dtype=dtype, rngs=rngs)
+        self.up_b_act = PReLU(rngs=rngs)
+        self.up_b_conv2 = Conv1x1(in_ch, out_ch, use_bias=False, dtype=dtype, rngs=rngs)
+        self.mix = Conv1x1(2 * out_ch, out_ch, use_bias=False, dtype=dtype, rngs=rngs)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        r = self.factor
+        xp = self.up_p_conv2(pixel_shuffle(self.up_p_act(self.up_p_conv1(x)), r))
+        xb = self.up_b_conv2(bilinear_resize(self.up_b_act(self.up_b_conv1(x)), r))
+        return self.mix(jnp.concatenate([xp, xb], axis=-1))
