@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Headline benchmark: 256x256 denoise inference throughput per chip.
+
+Runs the default SUNet (99.7M params, reference training.yaml recipe) in
+bf16 over a batch sweep and reports the best images/sec/chip. Prints ONE
+JSON line: {"metric", "value", "unit", "vs_baseline"} where vs_baseline is
+relative to the driver's 500 img/s/chip north star (BASELINE.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+NORTH_STAR = 500.0  # images/sec/chip (BASELINE.json)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from sunet_tf_tpu.config import Config
+    from sunet_tf_tpu.models.sunet import build_model
+
+    cfg = Config()
+    model = build_model(cfg, seed=0)  # bf16 compute per TPUConfig default
+    graphdef, params = nnx.split(model, nnx.Param)
+    gflop = model.flops() / 1e9
+
+    # Host-side per-call timing is unreliable through remote-execution
+    # tunnels (dispatch/readback RPCs dominate and block_until_ready can be
+    # lazy). Instead, run N chained forwards inside ONE jitted fori_loop
+    # and difference two values of N: the per-iteration device time is
+    # (t(N2) - t(N1)) / (N2 - N1), with every host overhead cancelled.
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2,))
+    def chain(p, x, n_iters):
+        def body(_, x):
+            y = nnx.merge(graphdef, p)(x)
+            return x * 0.999 + 0.001 * jnp.mean(y)
+
+        # scalar return = forced tiny readback, no eager ops on the host
+        return jnp.sum(jax.lax.fori_loop(0, n_iters, body, x))
+
+    def timed(p, x, n, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chain(p, x, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n_dev = 1  # throughput is reported per chip; bench runs single-chip
+    n1, n2 = (int(v) for v in os.environ.get("BENCH_CHAIN", "4,16").split(","))
+    best = 0.0
+    best_batch = 0
+    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "16,32").split(",")]
+    for b in batches:
+        x = jax.random.uniform(jax.random.key(0), (b, 256, 256, 3),
+                               jnp.float32)
+        timed(params, x, n1, reps=1)  # compile both variants
+        timed(params, x, n2, reps=1)
+        dt = (timed(params, x, n2) - timed(params, x, n1)) / (n2 - n1)
+        if dt <= 0:
+            continue
+        ips = b / dt / n_dev
+        print(f"# batch {b}: {ips:.1f} img/s ({dt*1e3:.2f} ms/iter, "
+              f"{ips * gflop / 1e3:.1f} TFLOP/s)", file=sys.stderr)
+        if ips > best:
+            best, best_batch = ips, b
+
+    print(json.dumps({
+        "metric": "denoise_256_images_per_sec_per_chip",
+        "value": round(best, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(best / NORTH_STAR, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Arbitrary-resolution tiled inference CLI (reference
+demo_any_resolution.py equivalent).
+
+Overlap-tiled restoration at --size tiles / --stride step with fold-average
+reconstruction, batched over tiles (the reference ran tiles one at a time,
+demo_any_resolution.py:118-123). Optional TPR/FPR evaluation against
+--mask_dir ground truth at the reference thresholds (pred>127, gt>200),
+written to tpr_fpr_results.txt (:107-159).
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser(description="Demo Image Restoration (any resolution)")
+    p.add_argument("--input_dir", required=True)
+    p.add_argument("--mask_dir", default=None)
+    p.add_argument("--result_dir", required=True)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--config", default="training.yaml")
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--stride", type=int, default=128)
+    p.add_argument("--tile_batch", type=int, default=16)
+    p.add_argument("--square_pad", action="store_true",
+                   help="bit-parity with the reference's square padding")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+    from PIL import Image
+
+    from sunet_tf_tpu.ckpt import restore_checkpoint
+    from sunet_tf_tpu.config import Config, load_config
+    from sunet_tf_tpu.data.pipeline import natural_sorted
+    from sunet_tf_tpu.infer.tiled import tiled_inference
+    from sunet_tf_tpu.models.sunet import build_model
+    from sunet_tf_tpu.ops.metrics import tpr_fpr
+
+    cfg = load_config(args.config) if os.path.exists(args.config) else Config()
+    model = build_model(cfg)
+    graphdef, params = nnx.split(model, nnx.Param)
+    if args.weights:
+        params = restore_checkpoint(args.weights, params)["params"]
+
+    # params stay a traced argument (closure-captured weights become HLO
+    # constants and explode compile payloads).
+    def model_fn(p, t):
+        return nnx.merge(graphdef, p)(t)
+
+    files = natural_sorted(
+        f for f in glob.glob(os.path.join(args.input_dir, "*.*"))
+        if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
+    if not files:
+        raise SystemExit(f"No image files found in {args.input_dir}")
+    os.makedirs(args.result_dir, exist_ok=True)
+
+    print("Restoring images...")
+    results_txt = os.path.join(args.result_dir, "tpr_fpr_results.txt")
+    with open(results_txt, "w") as rf:
+        rf.write("Filename\tTPR\tFPR\n")
+        for f in files:
+            img = np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
+            y = tiled_inference(model_fn, jnp.asarray(img)[None], params,
+                                kernel=args.size, stride=args.stride,
+                                tile_batch=args.tile_batch,
+                                square_pad=args.square_pad)
+            y = np.asarray(jnp.clip(y, 0.0, 1.0))[0]
+            if y.shape[-1] == 1:
+                y = np.repeat(y, 3, axis=-1)
+            out = (y * 255.0 + 0.5).astype(np.uint8)
+            name = os.path.splitext(os.path.basename(f))[0]
+            Image.fromarray(out).save(os.path.join(args.result_dir, name + ".bmp"))
+
+            if args.mask_dir:
+                mask_path = os.path.join(args.mask_dir, os.path.basename(f))
+                if os.path.exists(mask_path):
+                    mask = np.asarray(Image.open(mask_path).convert("L"))
+                    pred_gray = (0.2989 * out[..., 0] + 0.5870 * out[..., 1]
+                                 + 0.1140 * out[..., 2]).astype(np.uint8)
+                    tpr, fpr = tpr_fpr(pred_gray, mask)
+                    print(f"{os.path.basename(f)} — TPR: {tpr:.4f}, FPR: {fpr:.4f}")
+                    rf.write(f"{os.path.basename(f)}\t{tpr:.4f}\t{fpr:.4f}\n")
+                else:
+                    print(f"Mask not found for {f}, skipping TPR/FPR.")
+    print(f"\nAll results saved in: {args.result_dir}")
+
+
+if __name__ == "__main__":
+    main()

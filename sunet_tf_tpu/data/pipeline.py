@@ -1,0 +1,180 @@
+"""Host input pipeline: pairing, decode, crop, batching, prefetch.
+
+Layout contract is the reference's: a data root containing ``input/`` and
+``target/`` subdirectories with matching sorted filenames
+(reference dataset_RGB.py:17-21). Recognized extensions per
+dataset_RGB.py:9-10.
+
+Division of labor (vs the reference, which did everything on host,
+single-threaded, num_workers=0 — train.py:156):
+
+- host: decode to uint8, reflect-pad if smaller than the patch
+  (dataset_RGB.py:45-48), random/center crop (cheap numpy slicing),
+  batch assembly, background-thread prefetch (double buffering).
+- device (inside the jitted step): /255 normalization, 8-way dihedral
+  augmentation, AWGN synthesis, everything after.
+
+Batches are dicts of uint8 numpy arrays {input, target} shaped (B, ps, ps, C)
+so the host->device copy is 4x smaller than float32.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import re
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+IMAGE_EXTS = (".jpeg", ".jpg", ".png", ".gif", ".bmp")
+
+
+def is_image_file(name: str) -> bool:
+    return name.lower().endswith(IMAGE_EXTS)
+
+
+_NAT_SPLIT = re.compile(r"(\d+)")
+
+
+def natural_sorted(names):
+    """Natural sort (natsort-equivalent for filenames): numeric runs compare
+    as integers. Used for newest-checkpoint lookup and file listings
+    (reference utils/dir_utils.py:19-21 used natsort)."""
+
+    def key(s):
+        return tuple(int(t) if t.isdigit() else t.lower()
+                     for t in _NAT_SPLIT.split(str(s)))
+
+    return sorted(names, key=key)
+
+
+def list_image_pairs(root: str) -> list:
+    """[(input_path, target_path)] with sorted-name pairing
+    (reference dataset_RGB.py:17-21 pairs by independent sorted listings)."""
+    inp_dir = os.path.join(root, "input")
+    tar_dir = os.path.join(root, "target")
+    inps = sorted(x for x in os.listdir(inp_dir) if is_image_file(x))
+    tars = sorted(x for x in os.listdir(tar_dir) if is_image_file(x))
+    assert len(inps) == len(tars), (
+        f"input/target count mismatch: {len(inps)} vs {len(tars)}")
+    return [(os.path.join(inp_dir, a), os.path.join(tar_dir, b))
+            for a, b in zip(inps, tars)]
+
+
+def load_image_u8(path: str) -> np.ndarray:
+    """Decode to (H, W, 3) uint8 RGB."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+def reflect_pad_to(img: np.ndarray, ps: int) -> np.ndarray:
+    """Reflect-pad bottom/right so both dims are >= ps
+    (reference dataset_RGB.py:45-48 pads (0,0,padw,padh) reflect)."""
+    h, w = img.shape[:2]
+    padh = max(ps - h, 0)
+    padw = max(ps - w, 0)
+    if padh or padw:
+        img = np.pad(img, ((0, padh), (0, padw), (0, 0)), mode="reflect")
+    return img
+
+
+def center_crop_np(img: np.ndarray, ps: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    top = int(round((h - ps) / 2.0))
+    left = int(round((w - ps) / 2.0))
+    return img[top : top + ps, left : left + ps]
+
+
+class PairDataset:
+    """Decoded-image pair dataset with train (random crop) / eval
+    (center crop) modes. Small datasets are cached in RAM after first epoch.
+    """
+
+    def __init__(self, root: str, patch_size: int, train: bool = True,
+                 cache: bool = True, seed: int = 85):
+        self.pairs = list_image_pairs(root)
+        self.ps = patch_size
+        self.train = train
+        self.rng = np.random.default_rng(seed)
+        self._cache: dict = {} if cache else None
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def _load(self, i: int):
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
+        ip, tp = self.pairs[i]
+        inp, tar = load_image_u8(ip), load_image_u8(tp)
+        if self._cache is not None:
+            self._cache[i] = (inp, tar)
+        return inp, tar
+
+    def get(self, i: int):
+        """-> (input u8 (ps,ps,3), target u8 (ps,ps,3), name)"""
+        inp, tar = self._load(i)
+        ps = self.ps
+        name = os.path.splitext(os.path.basename(self.pairs[i][1]))[0]
+        if self.train:
+            inp = reflect_pad_to(inp, ps)
+            tar = reflect_pad_to(tar, ps)
+            h, w = tar.shape[:2]
+            r = int(self.rng.integers(0, h - ps + 1))
+            c = int(self.rng.integers(0, w - ps + 1))
+            return inp[r : r + ps, c : c + ps], tar[r : r + ps, c : c + ps], name
+        # eval: reflect-pad then center crop (fixes reference defect #12 —
+        # DataLoaderVal crashed on images smaller than VAL_PS).
+        inp = reflect_pad_to(inp, ps)
+        tar = reflect_pad_to(tar, ps)
+        return center_crop_np(inp, ps), center_crop_np(tar, ps), name
+
+
+def batch_iterator(ds: PairDataset, batch: int, shuffle: bool = True,
+                   drop_last: bool = False, seed: int = 0) -> Iterator[dict]:
+    """Yield {'input','target'} uint8 batches (+ 'names' list)."""
+    order = np.arange(len(ds))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for start in range(0, len(order), batch):
+        idx = order[start : start + batch]
+        if drop_last and idx.size < batch:
+            return
+        items = [ds.get(int(i)) for i in idx]
+        yield {
+            "input": np.stack([it[0] for it in items]),
+            "target": np.stack([it[1] for it in items]),
+            "names": [it[2] for it in items],
+        }
+
+
+class Prefetcher:
+    """Background-thread batch prefetch with an optional device_put function
+    (e.g. sharded placement) so H2D overlaps compute."""
+
+    def __init__(self, it: Iterator, put=None, depth: int = 2):
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.put = put
+
+        def run():
+            try:
+                for item in it:
+                    names = item.pop("names", None)
+                    if self.put is not None:
+                        item = self.put(item)
+                    self.q.put((item, names))
+            finally:
+                self.q.put(None)
+
+        self.t = threading.Thread(target=run, daemon=True)
+        self.t.start()
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            yield item

@@ -1,0 +1,5 @@
+from sunet_tf_tpu.infer.tiled import (  # noqa: F401
+    tiled_inference,
+    padded_inference,
+    required_granularity,
+)

@@ -226,8 +226,11 @@ class SwinBlock(nnx.Module):
                  window_size: int, shift_size: int, mlp_ratio: float = 4.0,
                  qkv_bias: bool = True, qk_scale: Optional[float] = None,
                  drop: float = 0.0, attn_drop: float = 0.0,
-                 drop_path_rate: float = 0.0, dtype=None, rngs: nnx.Rngs):
+                 drop_path_rate: float = 0.0, backend: str = "xla",
+                 ablate: tuple = (), dtype=None, rngs: nnx.Rngs):
         ws, ss = effective_window(input_resolution, window_size, shift_size)
+        # profiling aid: 'attn' / 'mlp' in ablate skips that sublayer
+        self.ablate = tuple(ablate)
         self.window_size = ws
         self.shift_size = ss
         self.dim = dim
@@ -238,6 +241,33 @@ class SwinBlock(nnx.Module):
         self.norm2 = nnx.LayerNorm(dim, epsilon=1e-5, dtype=jnp.float32, rngs=rngs)
         self.mlp = Mlp(dim, int(dim * mlp_ratio), drop=drop, dtype=dtype, rngs=rngs)
         self.drop_path_rate = drop_path_rate
+        # 'pallas' fuses qkv+attention+proj into one TPU kernel; only valid
+        # when attention/proj dropout are inactive (default recipe: rates 0).
+        self.backend = backend
+        self._can_fuse = attn_drop == 0.0 and drop == 0.0
+
+    def _attention(self, x: jnp.ndarray, ss: int, key) -> jnp.ndarray:
+        """Pre-normed NHWC map -> attention sublayer output (pre-residual)."""
+        B, H, W, C = x.shape
+        ws = self.window_size
+        x = roll2d(x, -ss)
+        mask = shift_attn_mask(H, W, ws, ss) if ss > 0 else None
+        if self.backend == "pallas" and (self._can_fuse or key is None):
+            from sunet_tf_tpu.kernels.window_attention import fused_window_attention
+
+            a = self.attn
+            x = fused_window_attention(
+                x, a.qkv.kernel[...].astype(x.dtype),
+                None if a.qkv.bias is None else a.qkv.bias[...],
+                a.proj.kernel[...].astype(x.dtype), a.proj.bias[...],
+                a.bias_matrix(),
+                None if mask is None else jnp.asarray(mask),
+                ws=ws, num_heads=a.num_heads, scale=a.scale)
+        else:
+            xw = window_partition(x, ws)
+            xw = self.attn(xw, mask, key=key)
+            x = window_reverse(xw, ws, H, W)
+        return roll2d(x, ss)
 
     def __call__(self, x: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
         B, H, W, C = x.shape
@@ -246,17 +276,15 @@ class SwinBlock(nnx.Module):
             f"resolution ({H},{W}) not divisible by window {ws}")
         ka, km, kd1, kd2 = (None,) * 4 if key is None else tuple(jax.random.split(key, 4))
 
-        shortcut = x
-        x = self.norm1(x).astype(shortcut.dtype)
-        x = roll2d(x, -ss)
-        xw = window_partition(x, ws)
-        mask = shift_attn_mask(H, W, ws, ss) if ss > 0 else None
-        xw = self.attn(xw, mask, key=ka)
-        x = window_reverse(xw, ws, H, W)
-        x = roll2d(x, ss)
-        x = shortcut + drop_path(x, self.drop_path_rate, kd1)
-        y = self.mlp(self.norm2(x).astype(x.dtype), key=km)
-        return x + drop_path(y, self.drop_path_rate, kd2)
+        if "attn" not in self.ablate:
+            shortcut = x
+            x = self.norm1(x).astype(shortcut.dtype)
+            x = self._attention(x, ss, ka)
+            x = shortcut + drop_path(x, self.drop_path_rate, kd1)
+        if "mlp" not in self.ablate:
+            y = self.mlp(self.norm2(x).astype(x.dtype), key=km)
+            x = x + drop_path(y, self.drop_path_rate, kd2)
+        return x
 
 
 class PatchMerging(nnx.Module):

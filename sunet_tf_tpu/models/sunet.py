@@ -71,6 +71,7 @@ class SwinStage(nnx.Module):
                  qkv_bias: bool, qk_scale: Optional[float], drop: float,
                  attn_drop: float, drop_path_rates: list,
                  resample: Optional[str] = None, use_checkpoint: bool = False,
+                 backend: str = "xla", ablate: tuple = (),
                  dtype=None, rngs: nnx.Rngs):
         self.blocks = nnx.List([
             SwinBlock(
@@ -78,7 +79,8 @@ class SwinStage(nnx.Module):
                 shift_size=0 if i % 2 == 0 else window_size // 2,
                 mlp_ratio=mlp_ratio, qkv_bias=qkv_bias, qk_scale=qk_scale,
                 drop=drop, attn_drop=attn_drop,
-                drop_path_rate=drop_path_rates[i], dtype=dtype, rngs=rngs)
+                drop_path_rate=drop_path_rates[i], backend=backend,
+                ablate=ablate, dtype=dtype, rngs=rngs)
             for i in range(depth)
         ])
         self.use_checkpoint = use_checkpoint
@@ -110,8 +112,12 @@ class SwinStage(nnx.Module):
 
 
 class SUNet(nnx.Module):
-    def __init__(self, cfg: SwinUNetConfig, *, dtype=None, rngs: nnx.Rngs):
+    def __init__(self, cfg: SwinUNetConfig, *, dtype=None,
+                 attention_backend: str = "xla", ablate: tuple = (),
+                 rngs: nnx.Rngs):
         self.cfg = cfg
+        backend = attention_backend
+        self._ablate = tuple(ablate)
         C = cfg.emb_dim
         n = cfg.num_stages
         pres = cfg.patches_resolution
@@ -143,7 +149,8 @@ class SUNet(nnx.Module):
                 qk_scale=cfg.qk_scale, drop=cfg.drop_rate,
                 attn_drop=cfg.attn_drop_rate, drop_path_rates=stage_slice(i),
                 resample="down" if i < n - 1 else None,
-                use_checkpoint=cfg.use_checkpoint, dtype=dtype, rngs=rngs)
+                use_checkpoint=cfg.use_checkpoint, backend=backend,
+                ablate=ablate, dtype=dtype, rngs=rngs)
             for i in range(n)
         ])
         self.norm = nnx.LayerNorm(C * 2 ** (n - 1), epsilon=1e-5,
@@ -171,7 +178,8 @@ class SUNet(nnx.Module):
                     drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
                     drop_path_rates=stage_slice(enc_i),
                     resample="up" if j < n - 2 else None,
-                    use_checkpoint=cfg.use_checkpoint, dtype=dtype, rngs=rngs))
+                    use_checkpoint=cfg.use_checkpoint, backend=backend,
+                    ablate=ablate, dtype=dtype, rngs=rngs))
         self.norm_up = nnx.LayerNorm(C, epsilon=1e-5, dtype=jnp.float32, rngs=rngs)
         self.up_final = DualUpsample(C, 4, dtype=dtype, rngs=rngs)
         self.output = Conv3x3(C, cfg.out_chans, use_bias=False, dtype=dtype, rngs=rngs)
@@ -277,7 +285,9 @@ def build_model(cfg: Config, seed: int = 0) -> SUNet:
     """Build a SUNet from a full Config (compute dtype from cfg.tpu)."""
     dtype = {"bfloat16": jnp.bfloat16, "float32": None,
              "float16": jnp.float16}.get(cfg.tpu.compute_dtype, None)
-    return SUNet(cfg.swinunet, dtype=dtype, rngs=nnx.Rngs(seed))
+    return SUNet(cfg.swinunet, dtype=dtype,
+                 attention_backend=cfg.tpu.attention_backend,
+                 rngs=nnx.Rngs(seed))
 
 
 def param_count(model: nnx.Module) -> int:

@@ -1,0 +1,202 @@
+"""Training orchestration: the reference train.py loop, TPU-native.
+
+Per-epoch flow mirrors reference train.py:305-739 — train pass, validation
+(and optional test) every VAL_AFTER_EVERY epochs with loss/MSE/weighted-MSE
+and AUROC/AUPRC (mask task) or PSNR/SSIM (denoise task), TensorBoard + CSV +
+plot sinks, per-epoch 'latest' checkpoint, best-by-metric checkpoints
+(actually saved — reference bug #2 fixed), closed-form LR schedule, resume.
+
+Differences by design: metrics accumulate on device (histogram sketches for
+ROC/PR), scalars cross to host once per epoch; input pipeline prefetches in
+a background thread; everything inside the step is one XLA program.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from sunet_tf_tpu.ckpt import BestTracker, latest_path, restore_checkpoint, save_checkpoint
+from sunet_tf_tpu.config import Config
+from sunet_tf_tpu.data.pipeline import PairDataset, Prefetcher, batch_iterator
+from sunet_tf_tpu.models.sunet import build_model
+from sunet_tf_tpu.obs import MetricsLogger
+from sunet_tf_tpu.ops.metrics import (
+    auprc_from_histograms,
+    auroc_from_histograms,
+    pr_curve_from_histograms,
+    roc_curve_from_histograms,
+)
+from sunet_tf_tpu.parallel.mesh import make_mesh, shard_batch
+from sunet_tf_tpu.train.loop import build_steps, jit_steps, make_optimizer
+
+
+def _mean(xs):
+    return float(np.mean([float(x) for x in xs])) if xs else float("nan")
+
+
+class Trainer:
+    def __init__(self, cfg: Config, task: Optional[str] = None,
+                 sigma: float = 50.0, mesh=None, verbose: bool = True):
+        self.cfg = cfg
+        self.task = task or ("mask" if cfg.swinunet.out_chans == 1 else "denoise")
+        self.sigma = sigma
+        self.verbose = verbose
+
+        self.model = build_model(cfg, seed=cfg.training.seed)
+        self.graphdef, self.params = nnx.split(self.model, nnx.Param)
+
+        tr = cfg.training
+        self.train_ds = PairDataset(tr.train_dir, tr.train_ps, train=True,
+                                    seed=tr.seed) if tr.train_dir else None
+        self.val_ds = PairDataset(tr.val_dir, tr.val_ps, train=False) if tr.val_dir else None
+        self.test_ds = (PairDataset(tr.test_dir, tr.val_ps, train=False)
+                        if tr.test_dir and os.path.isdir(tr.test_dir) else None)
+
+        n_train = len(self.train_ds) if self.train_ds else 1
+        self.steps_per_epoch = (tr.steps_per_epoch or
+                                max(1, -(-n_train // cfg.optim.batch)))
+        self.tx = make_optimizer(cfg, self.steps_per_epoch)
+        self.opt_state = self.tx.init(self.params)
+
+        if mesh is not None:
+            self.mesh = mesh
+        else:
+            # data axis must divide the global batch; cfg can pin it,
+            # otherwise use the largest divisor of batch <= device count.
+            n_dev = len(jax.devices())
+            d = cfg.tpu.data_parallel or n_dev
+            while cfg.optim.batch % d:
+                d -= 1
+            self.mesh = make_mesh(data=d)
+        fns = build_steps(cfg, self.graphdef, self.tx, task=self.task,
+                          sigma=sigma)
+        self.fns = jit_steps(fns, mesh=self.mesh, donate=cfg.tpu.donate)
+
+        self.model_dir = os.path.join(tr.save_dir, cfg.mode, "models")
+        self.log_dir = os.path.join(tr.save_dir, cfg.mode, "log")
+        self.logger = MetricsLogger(self.log_dir)
+        best_metrics = (("auroc", "auprc") if self.task == "mask"
+                        else ("psnr",))
+        self.best = BestTracker(self.model_dir, best_metrics, mode="max")
+        self.start_epoch = 1
+        self.rng = jax.random.key(tr.seed)
+
+        if tr.resume:
+            self._resume()
+
+    # ------------------------------------------------------------------
+
+    def _resume(self):
+        p = latest_path(self.model_dir)
+        if p is None:
+            if self.verbose:
+                print("==> RESUME requested but no latest checkpoint found")
+            return
+        restored = restore_checkpoint(p, self.params, self.opt_state)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.start_epoch = int(restored["epoch"]) + 1
+        if self.verbose:
+            print(f"==> Resumed from {p} at epoch {self.start_epoch}")
+
+    def _put(self, batch):
+        return shard_batch(self.mesh, batch)
+
+    def _put_replicated(self, batch):
+        from sunet_tf_tpu.parallel.mesh import replicate
+
+        s = replicate(self.mesh)
+        return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+    # ------------------------------------------------------------------
+
+    def train_epoch(self, epoch: int) -> dict:
+        assert self.train_ds is not None, "no TRAIN_DIR configured"
+        # drop_last=True keeps one compiled shape under donation/sharding
+        # (the reference kept partial batches, train.py:156 — negligible for
+        # patch datasets; deliberate deviation).
+        it = batch_iterator(self.train_ds, self.cfg.optim.batch, shuffle=True,
+                            drop_last=len(self.train_ds) > self.cfg.optim.batch,
+                            seed=self.cfg.training.seed + epoch)
+        scalars_acc: dict = {}
+        nsteps = 0
+        base_step = (epoch - 1) * self.steps_per_epoch
+        for batch, _names in Prefetcher(it, put=self._put):
+            step_idx = jnp.uint32(base_step + nsteps)
+            self.params, self.opt_state, scalars = self.fns.train_step(
+                self.params, self.opt_state, batch, self.rng, step_idx)
+            for k, v in scalars.items():
+                scalars_acc.setdefault(k, []).append(v)
+            nsteps += 1
+            if self.cfg.training.steps_per_epoch and nsteps >= self.steps_per_epoch:
+                break
+        out = {k: _mean(v) for k, v in scalars_acc.items()}
+        out["steps"] = nsteps
+        return out
+
+    def eval_epoch(self, ds: PairDataset, batch_size: int = 1) -> dict:
+        hists = self.fns.init_metrics()
+        it = batch_iterator(ds, batch_size, shuffle=False)
+        scalars_acc: dict = {}
+        for batch, _names in Prefetcher(it, put=self._put_replicated):
+            scalars, hists = self.fns.eval_step(self.params, batch, hists)
+            for k, v in scalars.items():
+                scalars_acc.setdefault(k, []).append(v)
+        out = {k: _mean(v) for k, v in scalars_acc.items()}
+        if self.task == "mask" and hists:
+            out["auroc"] = auroc_from_histograms(hists)
+            out["auprc"] = auprc_from_histograms(hists)
+            out["_hists"] = hists
+        return out
+
+    # ------------------------------------------------------------------
+
+    def fit(self) -> dict:
+        cfg = self.cfg
+        val_after = max(1, cfg.training.val_after_every)
+        t_start = time.time()
+        for epoch in range(self.start_epoch, cfg.optim.epochs + 1):
+            t0 = time.time()
+            tr = self.train_epoch(epoch)
+            self.logger.log_dict("train", {k: v for k, v in tr.items()
+                                           if k != "steps"}, epoch)
+
+            if epoch % val_after == 0 and self.val_ds is not None:
+                va = self.eval_epoch(self.val_ds, batch_size=1)
+                hists = va.pop("_hists", None)
+                self.logger.log_dict("val", va, epoch)
+                if hists is not None and not np.isnan(va.get("auroc", np.nan)):
+                    fpr, tpr = roc_curve_from_histograms(hists)
+                    rec, prec = pr_curve_from_histograms(hists)
+                    self.logger.plot_roc_pr("val", epoch, fpr, tpr, rec, prec,
+                                            va["auroc"], va["auprc"])
+                for m in self.best.best:
+                    if m in va:
+                        self.best.update(m, va[m], epoch, self.params)
+
+                if self.test_ds is not None:
+                    te = self.eval_epoch(self.test_ds, batch_size=1)
+                    te.pop("_hists", None)
+                    self.logger.log_dict("test", te, epoch)
+
+            self.logger.plot_overlays(epoch)
+            save_checkpoint(self.model_dir, "latest", self.params,
+                            self.opt_state, epoch=epoch)
+            if self.verbose:
+                msg = "  ".join(f"{k}={v:.6f}" for k, v in tr.items() if k != "steps")
+                print(f"Epoch {epoch}\ttime {time.time()-t0:.1f}s\t{msg}")
+
+        self.logger.write_csv()
+        self.logger.close()
+        summary = {"best": self.best.summary(),
+                   "total_time_s": time.time() - t_start}
+        if self.verbose:
+            print("==> Best:", summary["best"])
+        return summary

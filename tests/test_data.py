@@ -1,0 +1,105 @@
+"""Data pipeline: natural sort, pairing, padding, crops, patches, prefetch."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from sunet_tf_tpu.data.patches import generate_patches
+from sunet_tf_tpu.data.pipeline import (
+    PairDataset,
+    Prefetcher,
+    batch_iterator,
+    list_image_pairs,
+    natural_sorted,
+    reflect_pad_to,
+)
+
+
+def _write(root, sub, names, size=(20, 24)):
+    os.makedirs(os.path.join(root, sub), exist_ok=True)
+    rng = np.random.default_rng(0)
+    for n in names:
+        img = rng.integers(0, 255, (size[0], size[1], 3), dtype=np.uint8)
+        Image.fromarray(img).save(os.path.join(root, sub, n))
+
+
+def test_natural_sorted():
+    assert natural_sorted(["img_10.png", "img_2.png", "img_1.png"]) == [
+        "img_1.png", "img_2.png", "img_10.png"]
+
+
+def test_list_image_pairs(tmp_path):
+    _write(str(tmp_path), "input", ["b_2.png", "a_1.png"])
+    _write(str(tmp_path), "target", ["b_2.png", "a_1.png"])
+    (tmp_path / "input" / "notes.txt").write_text("ignore me")
+    pairs = list_image_pairs(str(tmp_path))
+    assert len(pairs) == 2
+    assert all(os.path.basename(a) == os.path.basename(b) for a, b in pairs)
+
+
+def test_reflect_pad_small_images():
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    out = reflect_pad_to(img, 5)
+    assert out.shape == (5, 5, 3)
+    np.testing.assert_array_equal(out[:2, :3], img)
+
+
+def test_train_crop_and_eval_centercrop(tmp_path):
+    _write(str(tmp_path), "input", ["x_1.png"], size=(10, 12))
+    _write(str(tmp_path), "target", ["x_1.png"], size=(10, 12))
+    tr = PairDataset(str(tmp_path), patch_size=16, train=True)
+    i, t, name = tr.get(0)
+    assert i.shape == (16, 16, 3) and t.shape == (16, 16, 3)
+    ev = PairDataset(str(tmp_path), patch_size=8, train=False)
+    i, t, _ = ev.get(0)
+    assert i.shape == (8, 8, 3)
+
+
+def test_batch_iterator_shapes(tmp_path):
+    _write(str(tmp_path), "input", [f"i_{k}.png" for k in range(5)])
+    _write(str(tmp_path), "target", [f"i_{k}.png" for k in range(5)])
+    ds = PairDataset(str(tmp_path), patch_size=16, train=True)
+    batches = list(batch_iterator(ds, 2, shuffle=True, drop_last=True))
+    assert len(batches) == 2
+    assert batches[0]["input"].shape == (2, 16, 16, 3)
+    assert batches[0]["input"].dtype == np.uint8
+    full = list(batch_iterator(ds, 2, shuffle=False, drop_last=False))
+    assert len(full) == 3 and full[-1]["input"].shape[0] == 1
+
+
+def test_prefetcher_preserves_order_and_names(tmp_path):
+    _write(str(tmp_path), "input", [f"i_{k}.png" for k in range(4)])
+    _write(str(tmp_path), "target", [f"i_{k}.png" for k in range(4)])
+    ds = PairDataset(str(tmp_path), patch_size=16, train=False)
+    got = list(Prefetcher(batch_iterator(ds, 1, shuffle=False)))
+    assert [n[0] for _, n in got] == [f"i_{k}" for k in range(4)]
+
+
+def test_generate_patches_tagged(tmp_path):
+    src = tmp_path / "src" / "scene"
+    os.makedirs(src)
+    rng = np.random.default_rng(1)
+    for stem in ("001_GT", "001_hazy", "002_GT", "002_hazy"):
+        img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        Image.fromarray(img).save(src / f"{stem}.png")
+    n = generate_patches(str(tmp_path / "src"), str(tmp_path / "out"),
+                         ps=16, num_patches=3, num_workers=2)
+    assert n == 6
+    assert len(os.listdir(tmp_path / "out" / "input")) == 6
+    assert len(os.listdir(tmp_path / "out" / "target")) == 6
+
+
+def test_generate_patches_same_mode(tmp_path):
+    src = tmp_path / "src" / "div2k"
+    os.makedirs(src)
+    img = np.random.default_rng(2).integers(0, 255, (30, 30, 3), dtype=np.uint8)
+    Image.fromarray(img).save(src / "0001.png")
+    n = generate_patches(str(tmp_path / "src"), str(tmp_path / "out"),
+                         ps=16, num_patches=4, pair_mode="same")
+    assert n == 4
+    # input == target in 'same' mode (noise comes later, on device)
+    a = np.asarray(Image.open(tmp_path / "out" / "input" / "0_1.png"))
+    b = np.asarray(Image.open(tmp_path / "out" / "target" / "0_1.png"))
+    np.testing.assert_array_equal(a, b)

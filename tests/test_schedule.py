@@ -1,0 +1,81 @@
+"""LR schedule vs a torch transcription of the reference scheduler stack.
+
+Oracle: torch Adam + CosineAnnealingLR + the reference GradualWarmupScheduler
+stepping pattern (init step + startup step train.py:135 + one step per epoch
+train.py:718). We re-implement GradualWarmupScheduler's arithmetic here from
+its documented semantics (warmup_scheduler/scheduler.py:25-37) on top of real
+torch schedulers so any divergence in torch's internals is caught.
+"""
+
+import numpy as np
+import pytest
+
+from sunet_tf_tpu.train.schedule import lr_for_step, reference_lr_schedule
+
+torch = pytest.importorskip("torch")
+
+
+def _torch_reference_lrs(base_lr, lr_min, epochs, warmup=3):
+    """Per-epoch LR actually used by the reference loop."""
+    opt = torch.optim.Adam([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+    cosine = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, epochs - warmup, eta_min=lr_min)
+
+    # GradualWarmupScheduler(multiplier=1, total_epoch=warmup) arithmetic:
+    class Warmup(torch.optim.lr_scheduler._LRScheduler):
+        def __init__(self, optimizer, total_epoch, after):
+            self.total_epoch = total_epoch
+            self.after = after
+            self.finished = False
+            super().__init__(optimizer)
+
+        def get_lr(self):
+            if self.last_epoch > self.total_epoch:
+                if not self.finished:
+                    self.after.base_lrs = list(self.base_lrs)
+                    self.finished = True
+                return self.after.get_last_lr()
+            return [b * self.last_epoch / self.total_epoch for b in self.base_lrs]
+
+        def step(self, epoch=None):
+            if self.finished:
+                self.after.step()
+                self._last_lr = self.after.get_last_lr()
+                for g, lr in zip(self.optimizer.param_groups, self._last_lr):
+                    g["lr"] = lr
+            else:
+                super().step(epoch)
+
+    sched = Warmup(opt, warmup, cosine)
+    sched.step()  # the reference's startup step (train.py:135)
+    lrs = []
+    for _ in range(1, epochs + 1):
+        lrs.append(opt.param_groups[0]["lr"])
+        sched.step()  # per-epoch step (train.py:718)
+    return lrs
+
+
+@pytest.mark.parametrize("epochs", [5, 20, 500])
+def test_schedule_matches_torch_oracle(epochs):
+    base, lr_min = 2e-4, 1e-6
+    ref = _torch_reference_lrs(base, lr_min, epochs)
+    ours = [reference_lr_schedule(e, base, lr_min, epochs) for e in range(1, epochs + 1)]
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-12)
+
+
+def test_known_values_epochs5():
+    base, lr_min, epochs = 2e-4, 1e-6, 5
+    seq = [reference_lr_schedule(e, base, lr_min, epochs) for e in range(1, 6)]
+    # warmup 1/3, 2/3, 3/3 then cosine step 0 (= base), then halfway point
+    np.testing.assert_allclose(
+        seq,
+        [base / 3, 2 * base / 3, base, base, (base + lr_min) / 2],
+        rtol=1e-9,
+    )
+
+
+def test_lr_constant_within_epoch():
+    lrs = {lr_for_step(s, steps_per_epoch=10, base_lr=2e-4, lr_min=1e-6,
+                       total_epochs=5) for s in range(10)}
+    assert len(lrs) == 1
+    assert lr_for_step(10, 10, 2e-4, 1e-6, 5) != lr_for_step(9, 10, 2e-4, 1e-6, 5)

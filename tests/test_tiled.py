@@ -1,0 +1,79 @@
+"""Tiled inference: exact reconstruction + tiled==monolithic contract
+(the correctness contract of reference demo_any_resolution.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from sunet_tf_tpu.infer.tiled import (
+    padded_inference,
+    required_granularity,
+    tiled_inference,
+)
+
+
+def test_identity_reconstruction_exact():
+    """With an identity model, fold-average must reproduce the input
+    exactly (overlap averaging of identical values)."""
+    img = jax.random.uniform(jax.random.key(0), (1, 100, 180, 3))
+    out = tiled_inference(lambda t: t, img, kernel=64, stride=32, tile_batch=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+
+def test_identity_reconstruction_square_pad():
+    img = jax.random.uniform(jax.random.key(1), (1, 70, 130, 3))
+    out = tiled_inference(lambda t: t, img, kernel=64, stride=32,
+                          tile_batch=8, square_pad=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+
+def test_linear_model_tiled_equals_monolithic():
+    """For a spatially-local model (1x1 'conv'), tiled == monolithic."""
+    w = jax.random.normal(jax.random.key(2), (3, 2)) * 0.1
+
+    def model(t):
+        return jnp.einsum("bhwc,co->bhwo", t, w)
+
+    img = jax.random.uniform(jax.random.key(3), (1, 128, 128, 3))
+    mono = model(img)
+    tiled = tiled_inference(model, img, kernel=64, stride=32, tile_batch=4)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(mono), atol=1e-5)
+
+
+def test_sunet_tiled_close_to_monolithic(tiny_model):
+    """Real model: tiles see different context at their borders, so
+    tiled != monolithic bitwise, but interiors must agree closely and the
+    output must be finite with the right shape."""
+    gd, st = nnx.split(tiny_model, nnx.Param)
+
+    def model_fn(p, t):
+        return nnx.merge(gd, p)(t)
+
+    mono_fwd = jax.jit(model_fn)
+    img = jax.random.uniform(jax.random.key(4), (1, 128, 128, 3))
+    mono = mono_fwd(st, img)
+    tiled = tiled_inference(model_fn, img, st, kernel=64, stride=32, tile_batch=4)
+    assert tiled.shape == mono.shape
+    assert np.isfinite(np.asarray(tiled)).all()
+    # centers of agreement: global stats should be close
+    assert abs(float(jnp.mean(tiled)) - float(jnp.mean(mono))) < 0.05
+
+
+def test_padded_inference_crops_back(tiny_model):
+    gd, st = nnx.split(tiny_model, nnx.Param)
+    fwd = jax.jit(lambda x: nnx.merge(gd, st)(x))
+    g = required_granularity(4, 4, 4)  # tiny config: 4 * 8 * 4 = 128
+    assert g == 128
+    img = jax.random.uniform(jax.random.key(5), (1, 100, 150, 3))
+    out = padded_inference(fwd, img, g)
+    assert out.shape == (1, 100, 150, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tile_grid_counts():
+    from sunet_tf_tpu.infer.tiled import _tile_starts
+
+    # 1024 canvas, 256 kernel, 128 stride -> starts 0..768 step 128 = 7
+    assert len(_tile_starts(1024, 256, 128)) == 7
+    assert _tile_starts(512, 256, 256) == [0, 256]
