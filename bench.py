@@ -26,7 +26,10 @@ def main():
     from sunet_tf_tpu.models.sunet import build_model
 
     cfg = Config()
-    model = build_model(cfg, seed=0)  # bf16 compute per TPUConfig default
+    # bf16 compute + fused Pallas swin-block kernels (inference path)
+    cfg = cfg.replace(tpu=cfg.tpu.__class__(compute_dtype="bfloat16",
+                                            attention_backend="pallas"))
+    model = build_model(cfg, seed=0)
     graphdef, params = nnx.split(model, nnx.Param)
     gflop = model.flops() / 1e9
 

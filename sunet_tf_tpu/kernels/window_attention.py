@@ -1,28 +1,33 @@
 """Pallas TPU kernel: fused window-attention sublayer.
 
-Covers the W-MSA hot loop (reference model/SUNet_detail.py:107-138 plus the
-partition/reverse data movement :27-56) as ONE kernel per (batch, window-row)
-grid cell: qkv projection -> per-window multi-head attention with
-relative-position bias and SW-MSA mask -> head merge -> output projection.
-The XLA path materializes qkv / attention probabilities / context in HBM
-between fusions; here everything after the x-strip load lives in VMEM, so
-the sublayer costs one HBM read + one write of the activation.
+Covers the W-MSA hot loop (reference model/SUNet_detail.py:107-138): qkv
+projection -> per-head attention with relative-position bias and SW-MSA
+mask -> head merge -> output projection, all inside VMEM.
 
-Design notes (per /opt/skills/guides/pallas_guide.md):
+Why this kernel exists (measured on v5e, batch 16 @ 256^2): the XLA path
+materializes the (B*nW, heads, N, N) fp32 attention scores/probabilities in
+HBM and crosses them ~5x (QK^T write, bias/mask add, softmax passes, AV
+read) — 2.5 ms per stage-0 block, ~70% of the whole model's step time.
+Keeping scores/probs in VMEM removes that traffic entirely.
 
-- grid = (B, H // ws); each program owns a (ws, W, C) strip = one row of
-  windows. All weights are VMEM-resident (block index (0, 0) every cell).
-- window size is 8 -> N = 64 tokens; per-window matmuls are tiny, so
-  windows and heads are kept as dot_general batch dims; the win over XLA is
-  the fused data movement, not MXU scheduling (SURVEY §7 "hard parts").
-- matmuls accumulate fp32 (preferred_element_type); softmax runs fp32.
-- the SW-MSA mask row-strip is selected by the grid index; the cyclic roll
-  stays outside (XLA fuses a roll into the producing op for free, and a
-  wrapped roll cannot be expressed as a BlockSpec index_map).
+Design notes (per /opt/skills/guides/pallas_guide.md, shaped by what the
+Mosaic compiler actually supports — probed empirically):
 
-The XLA reference implementation lives in models/layers.py
-(WindowAttention.__call__); parity is gated in tests/test_pallas.py and the
-backend is selectable per-model via TPU.ATTENTION_BACKEND.
+- window partition/reverse and the cyclic roll stay OUTSIDE in XLA: they
+  are cheap bandwidth (one pass over the bf16 activation) and their 6-D
+  reshape/transpose chains are exactly what Mosaic rejects in-kernel.
+- grid over flat windows: each program owns WT windows of the
+  pre-partitioned (T, N, C) tensor. All weights VMEM-resident.
+- heads are a STATIC python loop over lane slices of the fused qkv: each
+  head's (WT, N, N) scores live only in VMEM/registers. Matmuls use
+  dot_general with <=1 batch dim (Mosaic's tpu.matmul limit), fp32
+  accumulation; softmax in fp32.
+- the SW-MSA mask is indexed per program: window ids are consecutive, so
+  the (WT, N, N) mask block is either a slice of the per-image mask
+  (nW >= WT) or the mask tiled up to WT (nW < WT) with a constant index.
+
+Parity with the XLA path (models/layers.py WindowAttention) is gated in
+tests/test_pallas.py; the backend is selected via TPU.ATTENTION_BACKEND.
 """
 
 from __future__ import annotations
@@ -36,48 +41,133 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sunet_tf_tpu.ops.window import window_partition, window_reverse
+
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
-            mask_ref, o_ref, *, ws: int, num_heads: int, scale: float,
-            has_mask: bool):
-    _, _, W, C = x_ref.shape  # block (1, ws, W, C)
-    nw = W // ws
-    N = ws * ws
+            mask_ref, o_ref, *, num_heads: int, scale: float, has_mask: bool):
+    WT, N, C = x_ref.shape
     h = num_heads
     d = C // h
 
-    x = x_ref[0]  # (ws, W, C)
-    tokens = x.reshape(ws * W, C)
+    tokens = x_ref[...].reshape(WT * N, C)
     qkv = jnp.dot(tokens, wqkv_ref[...],
                   preferred_element_type=jnp.float32) + bqkv_ref[0]
-    qkv = qkv.astype(x.dtype)
-    # (ws, nw, ws, 3, h, d) -> (nw, 3, h, N=ws*ws, d); rows-major tokens
-    qkv = qkv.reshape(ws, nw, ws, 3, h, d)
-    # windows*heads folded into ONE batch dim (Mosaic tpu.matmul supports
-    # at most one batch dimension)
-    qkv = qkv.transpose(1, 3, 4, 0, 2, 5).reshape(nw * 3 * h, N, d)
-    qkv = qkv.reshape(nw, 3, h, N, d)
-    q = qkv[:, 0].reshape(nw * h, N, d).astype(jnp.float32) * scale
-    k = qkv[:, 1].reshape(nw * h, N, d).astype(jnp.float32)
-    v = qkv[:, 2].reshape(nw * h, N, d)
+    qkv = qkv.astype(x_ref.dtype)
+    q = qkv[:, :C].reshape(WT, N, C)
+    k = qkv[:, C:2 * C].reshape(WT, N, C)
+    v = qkv[:, 2 * C:].reshape(WT, N, C)
 
-    scores = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (nw*h, N, N)
-    scores = scores.reshape(nw, h, N, N) + bias_ref[...][None]
-    if has_mask:
-        scores = scores + mask_ref[...][:, None]
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    ctx = jax.lax.dot_general(
-        probs.reshape(nw * h, N, N), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # (nw*h, N, d)
-    ctx = ctx.astype(x.dtype).reshape(nw, h, N, d)
-    # merge heads and restore strip layout (ws, W, C)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(nw, ws, ws, C)
-    strip = ctx.transpose(1, 0, 2, 3).reshape(ws * W, C)
-    out = jnp.dot(strip, wproj_ref[...],
+    heads_out = []
+    for head in range(h):
+        sl = slice(head * d, (head + 1) * d)
+        qh = q[:, :, sl].astype(jnp.float32) * scale
+        kh = k[:, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (WT, N, N)
+        s = s + bias_ref[head]
+        if has_mask:
+            s = s + mask_ref[...]
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        ch = jax.lax.dot_general(
+            p, v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (WT, N, d)
+        heads_out.append(ch)
+    ctx = jnp.concatenate(heads_out, axis=-1).reshape(WT * N, C)
+
+    out = jnp.dot(ctx.astype(x_ref.dtype), wproj_ref[...],
                   preferred_element_type=jnp.float32) + bproj_ref[0]
-    o_ref[0] = out.reshape(ws, W, C).astype(o_ref.dtype)
+    o_ref[...] = out.reshape(WT, N, C).astype(o_ref.dtype)
+
+
+def _pick_wt(T: int, nW: int, target: int = 8) -> int:
+    """Windows per program: divides T, and aligns with the per-image mask
+    period (WT | nW or nW | WT with consecutive ids)."""
+    if nW >= target:
+        return target if nW % target == 0 and T % target == 0 else 1
+    wt = nW
+    while wt * 2 <= target and T % (wt * 2) == 0 and (wt * 2) % nW == 0:
+        wt *= 2
+    return wt
+
+
+def wmsa_core(
+    xw: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: Optional[jnp.ndarray],
+    wproj: jnp.ndarray,
+    bproj: jnp.ndarray,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    *,
+    num_heads: int,
+    scale: float,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused W-MSA over pre-partitioned windows.
+
+    xw: (T, N, C) with T = B * nW windows in image-major, row-major order
+    mask: (nW, N, N) fp32 additive mask or None
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    T, N, C = xw.shape
+    nW = mask.shape[0] if mask is not None else 1
+    has_mask = mask is not None
+    WT = _pick_wt(T, nW if has_mask else 1)
+
+    if bqkv is None:
+        bqkv = jnp.zeros((3 * C,), jnp.float32)
+    bqkv2 = bqkv.astype(jnp.float32).reshape(1, 3 * C)
+    bproj2 = bproj.astype(jnp.float32).reshape(1, C)
+    bias = jnp.asarray(bias, jnp.float32)
+
+    if has_mask:
+        m = jnp.asarray(mask, jnp.float32)
+        if nW >= WT:
+            mask_arr = m  # block (WT,N,N) at index (i % (nW//WT))
+            period = nW // WT
+            mask_index = lambda i: (jax.lax.rem(i, period), 0, 0)
+            mask_block = (WT, N, N)
+        else:
+            mask_arr = jnp.tile(m, (WT // nW, 1, 1))
+            mask_index = lambda i: (0, 0, 0)
+            mask_block = (WT, N, N)
+    else:
+        mask_arr = jnp.zeros((1, 1, 1), jnp.float32)
+        mask_index = lambda i: (0, 0, 0)
+        mask_block = (1, 1, 1)
+
+    kernel = functools.partial(_kernel, num_heads=num_heads,
+                               scale=float(scale), has_mask=has_mask)
+    full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    h = num_heads
+    return pl.pallas_call(
+        kernel,
+        grid=(T // WT,),
+        in_specs=[
+            pl.BlockSpec((WT, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(C, 3 * C),
+            full(1, 3 * C),
+            full(C, C),
+            full(1, C),
+            full(h, N, N),
+            pl.BlockSpec(mask_block, mask_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((WT, N, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xw.shape, xw.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * N * C * 4 * C + 4 * T * N * N * C,
+            bytes_accessed=2 * T * N * C * xw.dtype.itemsize
+            + 4 * C * C * wqkv.dtype.itemsize,
+            transcendentals=T * N * N,
+        ),
+    )(xw, wqkv, bqkv2, wproj, bproj2, bias, mask_arr)
 
 
 def fused_window_attention(
@@ -96,57 +186,339 @@ def fused_window_attention(
 ) -> jnp.ndarray:
     """Fused W-MSA sublayer over a pre-normalized, pre-rolled NHWC map.
 
-    x:     (B, H, W, C)  — H, W divisible by ws
-    wqkv:  (C, 3C), bqkv: (3C,) or None
-    wproj: (C, C),  bproj: (C,)
-    bias:  (num_heads, N, N) fp32 relative-position bias matrix
-    mask:  (nW, N, N) fp32 additive SW-MSA mask or None
-    returns (B, H, W, C) in x.dtype — attention output BEFORE the residual.
+    x: (B, H, W, C); returns the attention output BEFORE the residual,
+    same shape/dtype. Partition/reverse run in XLA (single cheap pass);
+    everything between lives in one Pallas kernel.
+    """
+    B, H, W, C = x.shape
+    xw = window_partition(x, ws)  # (B*nW, N, C)
+    out = wmsa_core(xw, wqkv, bqkv, wproj, bproj, bias, mask,
+                    num_heads=num_heads, scale=scale, interpret=interpret)
+    return window_reverse(out, ws, H, W)
+
+
+# ---------------------------------------------------------------------------
+# v3: whole-image fused Swin BLOCK kernel —
+# LN1 + partition + W-MSA + reverse + residual + LN2 + MLP + residual,
+# one HBM read and one write for the entire transformer block.
+# ---------------------------------------------------------------------------
+
+
+def _erf(x: jnp.ndarray) -> jnp.ndarray:
+    """fp32 erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7 — far
+    below bf16 activation resolution). Mosaic has no erf/erfc primitive."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _ln(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
+        eps: float = 1e-5) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    return xc * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                  bproj_ref, g2_ref, b2_ref, w1_ref, bm1_ref, w2_ref,
+                  bm2_ref, bias_ref, mask_ref, dp_ref, o_ref, *, ws: int,
+                  num_heads: int, scale: float, has_mask: bool):
+    _, H, W, C = x_ref.shape  # block (1, H, W, C)
+    hh, ww = H // ws, W // ws
+    nW = hh * ww
+    N = ws * ws
+    h = num_heads
+    d = C // h
+    x = x_ref[0]
+
+    # ---- attention sublayer
+    xn = _ln(x, g1_ref[0], b1_ref[0]).astype(x.dtype)
+    xw = xn.reshape(hh, ws, ww, ws, C).transpose(0, 2, 1, 3, 4)
+    xw = xw.reshape(nW * N, C)
+    qkv = jnp.dot(xw, wqkv_ref[...],
+                  preferred_element_type=jnp.float32) + bqkv_ref[0]
+    qkv = qkv.astype(x.dtype)
+    q = qkv[:, :C].reshape(nW, N, C)
+    k = qkv[:, C:2 * C].reshape(nW, N, C)
+    v = qkv[:, 2 * C:].reshape(nW, N, C)
+    heads_out = []
+    for head in range(h):
+        sl = slice(head * d, (head + 1) * d)
+        qh = q[:, :, sl].astype(jnp.float32) * scale
+        kh = k[:, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s + bias_ref[head][None]
+        if has_mask:
+            s = s + mask_ref[...]
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        heads_out.append(jax.lax.dot_general(
+            p, v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+    ctx = jnp.concatenate(heads_out, axis=-1).astype(x.dtype)
+    attn = jnp.dot(ctx.reshape(nW * N, C), wproj_ref[...],
+                   preferred_element_type=jnp.float32) + bproj_ref[0]
+    attn = attn.reshape(hh, ww, ws, ws, C).transpose(0, 2, 1, 3, 4)
+    attn = attn.reshape(H, W, C)
+    bb = pl.program_id(0)
+    y = (x.astype(jnp.float32) + dp_ref[bb, 0] * attn).astype(x.dtype)
+
+    # ---- MLP sublayer
+    yn = _ln(y, g2_ref[0], b2_ref[0]).astype(x.dtype)
+    h1 = jnp.dot(yn.reshape(H * W, C), w1_ref[...],
+                 preferred_element_type=jnp.float32) + bm1_ref[0]
+    h1 = _gelu_exact(h1).astype(x.dtype)
+    m = jnp.dot(h1, w2_ref[...],
+                preferred_element_type=jnp.float32) + bm2_ref[0]
+    out = y.astype(jnp.float32) + dp_ref[bb, 1] * m.reshape(H, W, C)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def fused_swin_block(
+    x: jnp.ndarray,
+    ln1: tuple,
+    wqkv: jnp.ndarray,
+    bqkv: Optional[jnp.ndarray],
+    wproj: jnp.ndarray,
+    bproj: jnp.ndarray,
+    ln2: tuple,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    drop_path_scale: Optional[jnp.ndarray] = None,
+    *,
+    ws: int,
+    num_heads: int,
+    scale: float,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """One whole Swin block over an NHWC map already cyclically rolled.
+
+    x: (B, H, W, C) RAW (pre-LN1) in rolled coordinates. Because every op
+    in the block (LN, window attention on the rolled layout, MLP,
+    residuals) commutes with the roll permutation, the block runs entirely
+    in rolled space; the caller un-rolls the output.
+
+    drop_path_scale: optional (B, 2) fp32 per-image scales for the two
+    residual branches (stochastic depth); defaults to ones.
     """
     if interpret is None:
-        # Mosaic needs real TPU hardware; interpret elsewhere (CPU tests).
         interpret = jax.default_backend() != "tpu"
     B, H, W, C = x.shape
     N = ws * ws
-    nw_row = W // ws
-    n_rows = H // ws
+    h = num_heads
+
+    # Split each image into S row-strips so per-program VMEM stays within
+    # budget (~1k tokens at C=96 equivalent); strips align to window rows.
+    tokens_c = H * W * C
+    S = 1
+    while tokens_c // S > 1024 * 96 and (H // ws) % (S * 2) == 0:
+        S *= 2
+    Hs = H // S
+    nW = (Hs // ws) * (W // ws)  # windows per strip
+
     if bqkv is None:
         bqkv = jnp.zeros((3 * C,), jnp.float32)
-    bqkv2 = bqkv.astype(jnp.float32).reshape(1, 3 * C)
-    bproj2 = bproj.astype(jnp.float32).reshape(1, C)
+    if drop_path_scale is None:
+        drop_path_scale = jnp.ones((B, 2), jnp.float32)
     has_mask = mask is not None
     if mask is None:
-        mask = jnp.zeros((n_rows * nw_row, N, N), jnp.float32)
-    mask = jnp.asarray(mask, jnp.float32)
-    bias = jnp.asarray(bias, jnp.float32)
+        mask_arr = jnp.zeros((1, 1, 1), jnp.float32)
+        mask_block = (1, 1, 1)
+    else:
+        mask_arr = jnp.asarray(mask, jnp.float32)  # (S*nW, N, N)
+        mask_block = (nW, N, N)
 
-    grid = (B, n_rows)
-    kernel = functools.partial(_kernel, ws=ws, num_heads=num_heads,
+    f32row = lambda a, n: a.astype(jnp.float32).reshape(1, n)
+    kernel = functools.partial(_block_kernel, ws=ws, num_heads=h,
                                scale=float(scale), has_mask=has_mask)
-    full = lambda *shape: pl.BlockSpec(shape, lambda b, r: (0,) * len(shape),
+    full = lambda *shape: pl.BlockSpec(shape, lambda bb, g: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
+    hidden = w1.shape[1]
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(B, S),
         in_specs=[
-            pl.BlockSpec((1, ws, W, C), lambda b, r: (b, r, 0, 0),
+            pl.BlockSpec((1, Hs, W, C), lambda bb, g: (bb, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            full(C, 3 * C),
-            full(1, 3 * C),
-            full(C, C),
-            full(1, C),
-            full(num_heads, N, N),
-            pl.BlockSpec((nw_row, N, N), lambda b, r: (r, 0, 0),
+            full(1, C), full(1, C),                      # ln1
+            full(C, 3 * C), full(1, 3 * C),              # qkv
+            full(C, C), full(1, C),                      # proj
+            full(1, C), full(1, C),                      # ln2
+            full(C, hidden), full(1, hidden),            # fc1
+            full(hidden, C), full(1, C),                 # fc2
+            full(h, N, N),                               # rel-pos bias
+            pl.BlockSpec(mask_block, lambda bb, g: (g, 0, 0)
+                         if has_mask else (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            # full (B, 2) array in SMEM; kernel indexes by program_id
+            pl.BlockSpec((B, 2), lambda bb, g: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, ws, W, C), lambda b, r: (b, r, 0, 0),
+        out_specs=pl.BlockSpec((1, Hs, W, C), lambda bb, g: (bb, g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * H * W * C * (3 * C + C) + 4 * B * H * W * N * C,
-            bytes_accessed=2 * B * H * W * C * x.dtype.itemsize
-            + 4 * C * C * wqkv.dtype.itemsize,
+            flops=2 * B * H * W * C * (4 * C + 2 * hidden)
+            + 4 * B * H * W * N * C,
+            bytes_accessed=2 * B * H * W * C * x.dtype.itemsize,
+            transcendentals=B * H * W * (N + hidden),
+        ),
+    )(x, f32row(ln1[0], C), f32row(ln1[1], C), wqkv,
+      f32row(bqkv, 3 * C), wproj, f32row(bproj, C),
+      f32row(ln2[0], C), f32row(ln2[1], C), w1, f32row(b1, hidden),
+      w2, f32row(b2, C), jnp.asarray(bias, jnp.float32), mask_arr,
+      drop_path_scale.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# v2: row-strip kernel — LayerNorm + partition + W-MSA + reverse + proj,
+# one HBM read and one write for the whole sublayer.
+# ---------------------------------------------------------------------------
+
+
+def _strip_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                  bproj_ref, bias_ref, mask_ref, o_ref, *, ws: int,
+                  num_heads: int, scale: float, has_mask: bool,
+                  eps: float = 1e-5):
+    _, _, W, C = x_ref.shape  # block (1, ws, W, C)
+    nw = W // ws
+    N = ws * ws
+    h = num_heads
+    d = C // h
+
+    # LayerNorm (fp32) over the channel axis
+    xf = x_ref[0].astype(jnp.float32)  # (ws, W, C)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps) * g_ref[0] + b_ref[0]
+    xn = xn.astype(x_ref.dtype)
+
+    # window partition inside VMEM: (ws, W, C) -> (nw, N, C)
+    xw = xn.reshape(ws, nw, ws, C).transpose(1, 0, 2, 3).reshape(nw, N, C)
+
+    qkv = jnp.dot(xw.reshape(nw * N, C), wqkv_ref[...],
+                  preferred_element_type=jnp.float32) + bqkv_ref[0]
+    qkv = qkv.astype(x_ref.dtype)
+    q = qkv[:, :C].reshape(nw, N, C)
+    k = qkv[:, C:2 * C].reshape(nw, N, C)
+    v = qkv[:, 2 * C:].reshape(nw, N, C)
+
+    heads_out = []
+    for head in range(h):
+        sl = slice(head * d, (head + 1) * d)
+        qh = q[:, :, sl].astype(jnp.float32) * scale
+        kh = k[:, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (nw, N, N)
+        s = s + bias_ref[head][None]
+        if has_mask:
+            s = s + mask_ref[...]
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        ch = jax.lax.dot_general(
+            p, v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        heads_out.append(ch)
+    ctx = jnp.concatenate(heads_out, axis=-1).astype(x_ref.dtype)  # (nw,N,C)
+
+    out = jnp.dot(ctx.reshape(nw * N, C), wproj_ref[...],
+                  preferred_element_type=jnp.float32) + bproj_ref[0]
+    out = out.astype(o_ref.dtype).reshape(nw, ws, ws, C)
+    o_ref[0] = out.transpose(1, 0, 2, 3).reshape(ws, W, C)
+
+
+def fused_ln_window_attention(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: Optional[jnp.ndarray],
+    wproj: jnp.ndarray,
+    bproj: jnp.ndarray,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    *,
+    ws: int,
+    num_heads: int,
+    scale: float,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """LN + window partition + W-MSA + reverse + proj in ONE kernel.
+
+    x: (B, H, W, C) raw (pre-LayerNorm), already cyclically rolled.
+    Returns the attention sublayer output before the residual, NHWC.
+    Grid = (B, H // ws): each program owns one row of windows.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, W, C = x.shape
+    N = ws * ws
+    nw = W // ws
+    n_rows = H // ws
+    h = num_heads
+
+    if bqkv is None:
+        bqkv = jnp.zeros((3 * C,), jnp.float32)
+    args = dict(
+        g=ln_scale.astype(jnp.float32).reshape(1, C),
+        b=ln_bias.astype(jnp.float32).reshape(1, C),
+        bqkv=bqkv.astype(jnp.float32).reshape(1, 3 * C),
+        bproj=bproj.astype(jnp.float32).reshape(1, C),
+    )
+    has_mask = mask is not None
+    if mask is None:
+        mask_arr = jnp.zeros((1, 1, 1), jnp.float32)
+        mask_block = (1, 1, 1)
+        mask_index = lambda bb, r: (0, 0, 0)
+    else:
+        mask_arr = jnp.asarray(mask, jnp.float32)  # (n_rows*nw, N, N)
+        mask_block = (nw, N, N)
+        mask_index = lambda bb, r: (r, 0, 0)
+
+    kernel = functools.partial(_strip_kernel, ws=ws, num_heads=h,
+                               scale=float(scale), has_mask=has_mask)
+    full = lambda *shape: pl.BlockSpec(shape, lambda bb, r: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_rows),
+        in_specs=[
+            pl.BlockSpec((1, ws, W, C), lambda bb, r: (bb, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, C),
+            full(1, C),
+            full(C, 3 * C),
+            full(1, 3 * C),
+            full(C, C),
+            full(1, C),
+            full(h, N, N),
+            pl.BlockSpec(mask_block, mask_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ws, W, C), lambda bb, r: (bb, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * C * 4 * C + 4 * B * H * W * N * C,
+            bytes_accessed=2 * B * H * W * C * x.dtype.itemsize,
             transcendentals=B * H * W * N,
         ),
-    )(x, wqkv, bqkv2, wproj, bproj2, bias, mask)
+    )(x, args["g"], args["b"], wqkv, args["bqkv"], wproj, args["bproj"],
+      jnp.asarray(bias, jnp.float32), mask_arr)

@@ -252,22 +252,54 @@ class SwinBlock(nnx.Module):
         ws = self.window_size
         x = roll2d(x, -ss)
         mask = shift_attn_mask(H, W, ws, ss) if ss > 0 else None
-        if self.backend == "pallas" and (self._can_fuse or key is None):
-            from sunet_tf_tpu.kernels.window_attention import fused_window_attention
-
-            a = self.attn
-            x = fused_window_attention(
-                x, a.qkv.kernel[...].astype(x.dtype),
-                None if a.qkv.bias is None else a.qkv.bias[...],
-                a.proj.kernel[...].astype(x.dtype), a.proj.bias[...],
-                a.bias_matrix(),
-                None if mask is None else jnp.asarray(mask),
-                ws=ws, num_heads=a.num_heads, scale=a.scale)
-        else:
-            xw = window_partition(x, ws)
-            xw = self.attn(xw, mask, key=key)
-            x = window_reverse(xw, ws, H, W)
+        xw = window_partition(x, ws)
+        xw = self.attn(xw, mask, key=key)
+        x = window_reverse(xw, ws, H, W)
         return roll2d(x, ss)
+
+    def _attention_fused(self, x_raw: jnp.ndarray, ss: int) -> jnp.ndarray:
+        """Raw (pre-LN) NHWC map -> attention sublayer output via the
+        Pallas row-strip kernel (LN + partition + W-MSA + proj fused)."""
+        from sunet_tf_tpu.kernels.window_attention import fused_ln_window_attention
+
+        B, H, W, C = x_raw.shape
+        ws = self.window_size
+        x = roll2d(x_raw, -ss)
+        mask = shift_attn_mask(H, W, ws, ss) if ss > 0 else None
+        a = self.attn
+        x = fused_ln_window_attention(
+            x, self.norm1.scale[...], self.norm1.bias[...],
+            a.qkv.kernel[...].astype(x.dtype),
+            None if a.qkv.bias is None else a.qkv.bias[...],
+            a.proj.kernel[...].astype(x.dtype), a.proj.bias[...],
+            a.bias_matrix(),
+            None if mask is None else jnp.asarray(mask),
+            ws=ws, num_heads=a.num_heads, scale=a.scale)
+        return roll2d(x, ss)
+
+    def _fused_block(self, x: jnp.ndarray, ss: int) -> jnp.ndarray:
+        """Whole-block Pallas kernel (LN1+W-MSA+res+LN2+MLP+res), rolled
+        coordinates handled here. Inference path (no dropout/droppath)."""
+        from sunet_tf_tpu.kernels.window_attention import fused_swin_block
+
+        H, W = x.shape[1], x.shape[2]
+        ws = self.window_size
+        a = self.attn
+        xr = roll2d(x, -ss)
+        mask = shift_attn_mask(H, W, ws, ss) if ss > 0 else None
+        out = fused_swin_block(
+            xr,
+            (self.norm1.scale[...], self.norm1.bias[...]),
+            a.qkv.kernel[...].astype(x.dtype),
+            None if a.qkv.bias is None else a.qkv.bias[...],
+            a.proj.kernel[...].astype(x.dtype), a.proj.bias[...],
+            (self.norm2.scale[...], self.norm2.bias[...]),
+            self.mlp.fc1.kernel[...].astype(x.dtype), self.mlp.fc1.bias[...],
+            self.mlp.fc2.kernel[...].astype(x.dtype), self.mlp.fc2.bias[...],
+            a.bias_matrix(),
+            None if mask is None else jnp.asarray(mask),
+            ws=ws, num_heads=a.num_heads, scale=a.scale)
+        return roll2d(out, ss)
 
     def __call__(self, x: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
         B, H, W, C = x.shape
@@ -276,10 +308,20 @@ class SwinBlock(nnx.Module):
             f"resolution ({H},{W}) not divisible by window {ws}")
         ka, km, kd1, kd2 = (None,) * 4 if key is None else tuple(jax.random.split(key, 4))
 
+        # Whole-block Pallas kernel: inference only (no backward kernels
+        # yet), dropout-free, and VMEM-bounded (weights for C>384 exceed
+        # the 16MB budget — those stages use the sublayer kernel instead).
+        if (self.backend == "pallas" and key is None and not self.ablate
+                and self.dim <= 384):
+            return self._fused_block(x, ss)
+
         if "attn" not in self.ablate:
             shortcut = x
-            x = self.norm1(x).astype(shortcut.dtype)
-            x = self._attention(x, ss, ka)
+            if self.backend == "pallas" and key is None:
+                x = self._attention_fused(x, ss)
+            else:
+                x = self.norm1(x).astype(shortcut.dtype)
+                x = self._attention(x, ss, ka)
             x = shortcut + drop_path(x, self.drop_path_rate, kd1)
         if "mlp" not in self.ablate:
             y = self.mlp(self.norm2(x).astype(x.dtype), key=km)
