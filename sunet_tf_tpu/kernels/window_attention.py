@@ -285,6 +285,77 @@ def _block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _mlp_kernel(y_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                dp_ref, o_ref):
+    _, Hs, W, C = y_ref.shape
+    y = y_ref[0]
+    yn = _ln(y, g_ref[0], b_ref[0]).astype(y.dtype)
+    h1 = jnp.dot(yn.reshape(Hs * W, C), w1_ref[...],
+                 preferred_element_type=jnp.float32) + b1_ref[0]
+    h1 = _gelu_exact(h1).astype(y.dtype)
+    m = jnp.dot(h1, w2_ref[...],
+                preferred_element_type=jnp.float32) + b2_ref[0]
+    bb = pl.program_id(0)
+    out = y.astype(jnp.float32) + dp_ref[bb, 0] * m.reshape(Hs, W, C)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def fused_ln_mlp(
+    y: jnp.ndarray,
+    ln: tuple,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    drop_path_scale: Optional[jnp.ndarray] = None,
+    *,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """y + drop_path * fc2(gelu(fc1(LN(y)))) in one kernel, NHWC.
+
+    Used where the whole-block kernel's weights exceed VMEM (C=768 stages);
+    pairs with fused_ln_window_attention for the attention sublayer.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, W, C = y.shape
+    hidden = w1.shape[1]
+    tokens_c = H * W * C
+    S = 1
+    while tokens_c // S > 1024 * 96 and H % (S * 2) == 0:
+        S *= 2
+    Hs = H // S
+    if drop_path_scale is None:
+        drop_path_scale = jnp.ones((B, 1), jnp.float32)
+    f32row = lambda a, n: a.astype(jnp.float32).reshape(1, n)
+    full = lambda *shape: pl.BlockSpec(shape, lambda bb, g: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _mlp_kernel,
+        grid=(B, S),
+        in_specs=[
+            pl.BlockSpec((1, Hs, W, C), lambda bb, g: (bb, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, C), full(1, C),
+            full(C, hidden), full(1, hidden),
+            full(hidden, C), full(1, C),
+            pl.BlockSpec((B, 1), lambda bb, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Hs, W, C), lambda bb, g: (bb, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * W * C * hidden,
+            bytes_accessed=2 * B * H * W * C * y.dtype.itemsize
+            + 2 * C * hidden * w1.dtype.itemsize,
+            transcendentals=B * H * W * hidden,
+        ),
+    )(y, f32row(ln[0], C), f32row(ln[1], C), w1, f32row(b1, hidden),
+      w2, f32row(b2, C), drop_path_scale.astype(jnp.float32))
+
+
 def fused_swin_block(
     x: jnp.ndarray,
     ln1: tuple,
@@ -323,10 +394,11 @@ def fused_swin_block(
     h = num_heads
 
     # Split each image into S row-strips so per-program VMEM stays within
-    # budget (~1k tokens at C=96 equivalent); strips align to window rows.
+    # budget (~2k tokens at C=96 equivalent — measured to fit in the 16MB
+    # scoped limit); strips align to window rows.
     tokens_c = H * W * C
     S = 1
-    while tokens_c // S > 1024 * 96 and (H // ws) % (S * 2) == 0:
+    while tokens_c // S > 2048 * 96 and (H // ws) % (S * 2) == 0:
         S *= 2
     Hs = H // S
     nW = (Hs // ws) * (W // ws)  # windows per strip

@@ -229,8 +229,11 @@ class SwinBlock(nnx.Module):
                  drop_path_rate: float = 0.0, backend: str = "xla",
                  ablate: tuple = (), dtype=None, rngs: nnx.Rngs):
         ws, ss = effective_window(input_resolution, window_size, shift_size)
-        # profiling aid: 'attn' / 'mlp' in ablate skips that sublayer
+        # profiling aid: 'attn' / 'mlp' skip sublayers; 'shift' forces
+        # unshifted windows (no rolls/masks)
         self.ablate = tuple(ablate)
+        if "shift" in self.ablate:
+            ss = 0
         self.window_size = ws
         self.shift_size = ss
         self.dim = dim
@@ -315,17 +318,28 @@ class SwinBlock(nnx.Module):
                 and self.dim <= 384):
             return self._fused_block(x, ss)
 
+        use_pallas = self.backend == "pallas" and key is None
         if "attn" not in self.ablate:
             shortcut = x
-            if self.backend == "pallas" and key is None:
+            if use_pallas:
                 x = self._attention_fused(x, ss)
             else:
                 x = self.norm1(x).astype(shortcut.dtype)
                 x = self._attention(x, ss, ka)
             x = shortcut + drop_path(x, self.drop_path_rate, kd1)
         if "mlp" not in self.ablate:
-            y = self.mlp(self.norm2(x).astype(x.dtype), key=km)
-            x = x + drop_path(y, self.drop_path_rate, kd2)
+            if use_pallas:
+                from sunet_tf_tpu.kernels.window_attention import fused_ln_mlp
+
+                x = fused_ln_mlp(
+                    x, (self.norm2.scale[...], self.norm2.bias[...]),
+                    self.mlp.fc1.kernel[...].astype(x.dtype),
+                    self.mlp.fc1.bias[...],
+                    self.mlp.fc2.kernel[...].astype(x.dtype),
+                    self.mlp.fc2.bias[...])
+            else:
+                y = self.mlp(self.norm2(x).astype(x.dtype), key=km)
+                x = x + drop_path(y, self.drop_path_rate, kd2)
         return x
 
 
@@ -400,6 +414,16 @@ class DualUpsample(nnx.Module):
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         r = self.factor
+        out_ch = self.mix.lin.kernel.shape[1]
+        # Two algebraic rewrites of the reference dataflow (bit-equivalent
+        # up to fp reassociation, big HBM savings at the upsampled res):
+        # 1. 1x1 convs commute with bilinear resize -> run up_b's second
+        #    conv (and the mix contribution) at LOW resolution, resize last.
+        # 2. mix(concat(xp, xb)) == xp @ Wp + xb @ Wb -> no concat tensor.
+        wp = self.mix.lin.kernel[...][:out_ch]
+        wb = self.mix.lin.kernel[...][out_ch:]
         xp = self.up_p_conv2(pixel_shuffle(self.up_p_act(self.up_p_conv1(x)), r))
-        xb = self.up_b_conv2(bilinear_resize(self.up_b_act(self.up_b_conv1(x)), r))
-        return self.mix(jnp.concatenate([xp, xb], axis=-1))
+        xb_low = self.up_b_conv2(self.up_b_act(self.up_b_conv1(x)))
+        dt = xp.dtype
+        mixed_b_low = xb_low @ wb.astype(dt)  # (1x1 convs fold: low res)
+        return xp @ wp.astype(dt) + bilinear_resize(mixed_b_low, r)

@@ -143,3 +143,29 @@ class MetricsLogger:
     def close(self) -> None:
         if self.writer is not None:
             self.writer.close()
+
+
+class profile_trace:
+    """Context manager around jax.profiler.trace -> XProf/TensorBoard
+    (the TPU-native replacement for the reference's thop/flops-print
+    profiling, SURVEY §5.1). Usage:
+
+        with profile_trace(log_dir):
+            step(...)  # traced region
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax
+
+        os.makedirs(self.log_dir, exist_ok=True)
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        return False

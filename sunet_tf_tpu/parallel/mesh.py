@@ -57,3 +57,23 @@ def shard_batch(mesh: Mesh, batch):
 def spatial_sharding(mesh: Mesh) -> NamedSharding:
     """Shard (B, H, W, C) images over batch and H: P('data', 'spatial')."""
     return NamedSharding(mesh, P("data", "spatial"))
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: same SPMD program spans hosts over DCN.
+
+    Thin wrapper over jax.distributed.initialize — with no arguments it
+    auto-detects the TPU pod environment. Call before any other JAX use;
+    afterwards jax.devices() spans the slice and the same Mesh/step code
+    runs unchanged (the reference's nn.DataParallel had no multi-node
+    story at all, SURVEY §2).
+    """
+    import jax as _jax
+
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    _jax.distributed.initialize(**kwargs)

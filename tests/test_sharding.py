@@ -54,8 +54,10 @@ def test_eight_device_step_matches_single(setup):
     np.testing.assert_allclose(float(s8["loss"]), float(s1["loss"]),
                                rtol=1e-5)
     # parameters after one step agree bit-for-bit up to reduction order
+    # (pull to host: the two results live on different meshes)
     l8, l1 = jax.tree.leaves(p8), jax.tree.leaves(p1)
-    worst = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(l8, l1))
+    worst = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                for a, b in zip(l8, l1))
     assert worst < 1e-5, f"sharded step diverged from single-device: {worst}"
 
 
