@@ -28,6 +28,8 @@ def main():
                         "random init if omitted")
     p.add_argument("--config", default="training.yaml")
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--backend", default="pallas", choices=["pallas", "xla"],
+                   help="attention backend; pallas = fused TPU kernels")
     args = p.parse_args()
 
     import jax
@@ -46,6 +48,8 @@ def main():
         from sunet_tf_tpu.config import Config
 
         cfg = Config()
+    cfg = cfg.replace(tpu=cfg.tpu.__class__(
+        compute_dtype=cfg.tpu.compute_dtype, attention_backend=args.backend))
     model = build_model(cfg)
     graphdef, params = nnx.split(model, nnx.Param)
     if args.weights:

@@ -31,6 +31,8 @@ def main():
     p.add_argument("--tile_batch", type=int, default=16)
     p.add_argument("--square_pad", action="store_true",
                    help="bit-parity with the reference's square padding")
+    p.add_argument("--backend", default="pallas", choices=["pallas", "xla"],
+                   help="attention backend; pallas = fused TPU kernels")
     args = p.parse_args()
 
     import jax
@@ -46,6 +48,8 @@ def main():
     from sunet_tf_tpu.ops.metrics import tpr_fpr
 
     cfg = load_config(args.config) if os.path.exists(args.config) else Config()
+    cfg = cfg.replace(tpu=cfg.tpu.__class__(
+        compute_dtype=cfg.tpu.compute_dtype, attention_backend=args.backend))
     model = build_model(cfg)
     graphdef, params = nnx.split(model, nnx.Param)
     if args.weights:

@@ -258,6 +258,26 @@ def config_to_dict(cfg: Config) -> dict:
     }
 
 
+def scaled_config(**overrides) -> Config:
+    """The BASELINE.json config #5: scaled SUNet — EMB_DIM 180, WIN_SIZE 16,
+    512x512 patches, intended for data-parallel pod-slice training.
+    Heads chosen so every stage has head_dim 30 (180/6 ... 1440/48)."""
+    base = dict(
+        img_size=512,
+        patch_size=4,
+        win_size=16,
+        emb_dim=180,
+        depth_en=(8, 8, 8, 8),
+        head_num=(6, 12, 24, 48),
+        qk_scale=None,  # default head_dim**-0.5 for the scaled recipe
+    )
+    base.update({k: v for k, v in overrides.items()
+                 if k in SwinUNetConfig.__dataclass_fields__})
+    swin = SwinUNetConfig(**base)
+    return Config(swinunet=swin,
+                  training=TrainingConfig(train_ps=512, val_ps=512))
+
+
 def tiny_config(**overrides) -> Config:
     """A small config for tests/CI: same topology, tiny dims."""
     swin = SwinUNetConfig(

@@ -63,7 +63,8 @@ def _tile_starts(X: int, kernel: int, stride: int) -> list:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model_fn", "kernel", "stride", "tile_batch", "square_pad"),
+    static_argnames=("model_fn", "kernel", "stride", "tile_batch",
+                     "square_pad", "mesh"),
 )
 def tiled_inference(
     model_fn: Callable,
@@ -73,6 +74,7 @@ def tiled_inference(
     stride: int = 128,
     tile_batch: int = 16,
     square_pad: bool = False,
+    mesh=None,
 ) -> jnp.ndarray:
     """Overlap-tiled inference over an NHWC image (B=1), fold-average
     reconstruction identical to demo_any_resolution.py:125-136.
@@ -84,6 +86,10 @@ def tiled_inference(
 
     The whole function is jit-compiled per image shape; the fold uses
     q^2 = (kernel/stride)^2 vectorized adds, not one add per tile.
+
+    With ``mesh``, tiles are sharded over the 'data' axis and the model
+    runs once over the full tile batch (tiles are embarrassingly parallel
+    — the multi-chip arbitrary-resolution path, SURVEY §2 SP row).
     """
     B, H, W, C = img.shape
     assert B == 1, "tiled path processes one image at a time (reference parity)"
@@ -115,14 +121,28 @@ def tiled_inference(
     tiles = tb.transpose(0, 1, 2, 4, 3, 5, 6).reshape(-1, kernel, kernel, C)
 
     T = tiles.shape[0]
-    pad_t = (-T) % tile_batch
-    if pad_t:
-        tiles = jnp.concatenate([tiles, jnp.zeros((pad_t,) + tiles.shape[1:],
-                                                  tiles.dtype)])
-    chunks = tiles.reshape(-1, tile_batch, kernel, kernel, C)
-    outs = jax.lax.map(run, chunks)
-    out_c = outs.shape[-1]
-    outs = outs.reshape(-1, kernel, kernel, out_c)[:T]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        pad_t = (-T) % n_data
+        if pad_t:
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((pad_t,) + tiles.shape[1:], tiles.dtype)])
+        tiles = jax.lax.with_sharding_constraint(
+            tiles, NamedSharding(mesh, P("data")))
+        outs = run(tiles)
+        out_c = outs.shape[-1]
+        outs = outs[:T]
+    else:
+        pad_t = (-T) % tile_batch
+        if pad_t:
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((pad_t,) + tiles.shape[1:], tiles.dtype)])
+        chunks = tiles.reshape(-1, tile_batch, kernel, kernel, C)
+        outs = jax.lax.map(run, chunks)
+        out_c = outs.shape[-1]
+        outs = outs.reshape(-1, kernel, kernel, out_c)[:T]
 
     # fold overlap-add in block coords: q^2 vectorized adds
     ob = outs.reshape(n_rows, n_cols, q, stride, q, stride, out_c)

@@ -154,12 +154,17 @@ def build_steps(
         inp = _normalize(batch["input"])
         tar = _normalize(batch["target"])
         if task == "denoise":
+            from sunet_tf_tpu.ops.image import rgb_to_gray, ssim
+
             logits = forward(params, inp)
             pred = jnp.clip(logits, 0.0, 1.0)
             scalars = {
                 "loss": charbonnier_loss(logits, tar),
                 "mse": mse_loss(logits, tar),
                 "psnr": psnr(tar, pred),
+                # SSIM on grayscale, the evaluation.m protocol
+                "ssim": ssim(rgb_to_gray(tar) if tar.shape[-1] == 3 else tar,
+                             rgb_to_gray(pred) if pred.shape[-1] == 3 else pred),
             }
             return scalars, hists
         tar = _prep_mask_target(tar)

@@ -83,7 +83,7 @@ class Trainer:
         self.log_dir = os.path.join(tr.save_dir, cfg.mode, "log")
         self.logger = MetricsLogger(self.log_dir)
         best_metrics = (("auroc", "auprc") if self.task == "mask"
-                        else ("psnr",))
+                        else ("psnr", "ssim"))
         self.best = BestTracker(self.model_dir, best_metrics, mode="max")
         self.start_epoch = 1
         self.rng = jax.random.key(tr.seed)

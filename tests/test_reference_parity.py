@@ -126,6 +126,34 @@ def test_forward_parity_full_model(ref_and_ours):
     np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)
 
 
+def test_export_round_trip(ref_and_ours):
+    """import(torch ckpt) -> export -> reference loads it and agrees."""
+    ref, fwd, params = ref_and_ours
+    from flax import nnx
+
+    from sunet_tf_tpu.config import Config, SwinUNetConfig
+    from sunet_tf_tpu.models.sunet import build_model
+    from tools.export_torch_checkpoint import params_to_state_dict
+
+    cfg = Config(swinunet=SwinUNetConfig(
+        img_size=64, patch_size=4, win_size=4, emb_dim=16,
+        depth_en=(2, 2, 2, 2), head_num=(2, 2, 2, 2), qk_scale=8.0,
+        drop_path_rate=0.0))
+    ours = build_model(cfg.replace(tpu=cfg.tpu.__class__(compute_dtype="float32")))
+    gd, _ = nnx.split(ours, nnx.Param)
+    ours = nnx.merge(gd, params)
+    sd = {k.removeprefix("swin_unet."): torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in params_to_state_dict(ours).items()}
+    missing, unexpected = ref.load_state_dict(sd, strict=True), None
+    x = np.random.default_rng(5).random((1, 64, 64, 3), np.float32)
+    import jax.numpy as jnp
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    ours_out = np.asarray(fwd(params, jnp.asarray(x)))
+    np.testing.assert_allclose(ours_out, ref_out, rtol=1e-3, atol=2e-4)
+
+
 def test_forward_parity_grayscale_input(ref_and_ours):
     """Reference wrapper repeats 1ch->3ch (model/SUNet.py:27-28); we do the
     same inside SUNet."""

@@ -71,6 +71,28 @@ def test_padded_inference_crops_back(tiny_model):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_tiled_sharded_matches_unsharded():
+    """mesh option: tiles sharded over 'data', same reconstruction."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 devices")
+    from sunet_tf_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=8)
+    w = jax.random.normal(jax.random.key(7), (3, 2)) * 0.1
+
+    def model(p, t):
+        return jnp.einsum("bhwc,co->bhwo", t, p)
+
+    img = jax.random.uniform(jax.random.key(8), (1, 96, 160, 3))
+    ref = tiled_inference(model, img, w, kernel=64, stride=32, tile_batch=4)
+    out = tiled_inference(model, img, w, kernel=64, stride=32, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_tile_grid_counts():
     from sunet_tf_tpu.infer.tiled import _tile_starts
 
