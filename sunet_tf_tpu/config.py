@@ -103,8 +103,10 @@ class TPUConfig:
 
     # Compute dtype for matmuls/convs; params and reductions stay fp32.
     compute_dtype: str = "bfloat16"
-    # "xla" einsum attention or "pallas" fused kernel.
-    attention_backend: str = "xla"
+    # "pallas" fused kernels, "xla" einsum attention, or "auto"
+    # (pallas on TPU, xla elsewhere — pallas interprets off-TPU, too slow
+    # for real sizes).
+    attention_backend: str = "auto"
     # Data-parallel mesh size; 0 = all local devices.
     data_parallel: int = 0
     # Donate + overlap input pipeline.

@@ -198,6 +198,276 @@ def fused_window_attention(
 
 
 # ---------------------------------------------------------------------------
+# Backward: custom-VJP for the LN+W-MSA sublayer. The backward kernel
+# recomputes the forward in VMEM (flash-attention style: probabilities are
+# never materialized in HBM in either direction) and accumulates weight
+# gradients across the sequential TPU grid into single output blocks.
+# ---------------------------------------------------------------------------
+
+
+def _strip_bwd_kernel(x_ref, dout_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                      wproj_ref, bias_ref, mask_ref,
+                      dx_ref, dg_ref, db_ref, dwqkv_ref, dbqkv_ref,
+                      dwproj_ref, dbproj_ref, dbias_ref, *, ws: int,
+                      num_heads: int, scale: float, has_mask: bool,
+                      eps: float = 1e-5):
+    _, _, W, C = x_ref.shape  # block (1, ws, W, C)
+    nw = W // ws
+    N = ws * ws
+    h = num_heads
+    d = C // h
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwproj_ref[...] = jnp.zeros_like(dwproj_ref)
+        dbproj_ref[...] = jnp.zeros_like(dbproj_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    # ---- forward recompute (fp32 LN, bf16 matmul inputs)
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = xc * inv                           # (ws, W, C) fp32
+    u = (xhat * g_ref[0] + b_ref[0]).astype(x.dtype)
+    uw = u.reshape(ws, nw, ws, C).transpose(1, 0, 2, 3).reshape(nw * N, C)
+    qkv = (jnp.dot(uw, wqkv_ref[...], preferred_element_type=jnp.float32)
+           + bqkv_ref[0]).astype(x.dtype)
+    q = qkv[:, :C].reshape(nw, N, C)
+    k = qkv[:, C:2 * C].reshape(nw, N, C)
+    v = qkv[:, 2 * C:].reshape(nw, N, C)
+
+    # incoming cotangent, in window layout
+    dout = dout_ref[0]
+    doutw = dout.reshape(ws, nw, ws, C).transpose(1, 0, 2, 3).reshape(nw * N, C)
+    dctx = jnp.dot(doutw.astype(x.dtype),
+                   wproj_ref[...].T, preferred_element_type=jnp.float32)
+    dctx = dctx.astype(x.dtype).reshape(nw, N, C)
+
+    ctx_heads = []
+    dq_heads = []
+    dk_heads = []
+    dv_heads = []
+    for head in range(h):
+        sl = slice(head * d, (head + 1) * d)
+        qh = q[:, :, sl].astype(jnp.float32) * scale
+        kh = k[:, :, sl].astype(jnp.float32)
+        vh = v[:, :, sl]
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s + bias_ref[head][None]
+        if has_mask:
+            s = s + mask_ref[...]
+        p = jax.nn.softmax(s, axis=-1)        # (nw, N, N) fp32
+        pb = p.astype(x.dtype)
+        ctx_heads.append(jax.lax.dot_general(
+            pb, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+
+        dctx_h = dctx[:, :, sl]
+        # dP = dctx_h @ v_h^T ; dv = P^T @ dctx_h
+        dp = jax.lax.dot_general(dctx_h, vh, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(pb, dctx_h, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        # softmax backward: ds = P * (dP - rowsum(dP * P))
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_ref[head] += jnp.sum(ds, axis=0)
+        dsb = ds.astype(x.dtype)
+        # s = (q*scale) @ k^T: dq = scale * ds @ k ; dk = ds^T @ (q*scale)
+        dq = jax.lax.dot_general(dsb, kh.astype(x.dtype),
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(dsb, (qh).astype(x.dtype),
+                                 (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dq_heads.append(dq)
+        dk_heads.append(dk)
+        dv_heads.append(dv)
+
+    ctx = jnp.concatenate(ctx_heads, axis=-1).astype(x.dtype).reshape(nw * N, C)
+    dwproj_ref[...] += jnp.dot(ctx.T, doutw.astype(x.dtype),
+                               preferred_element_type=jnp.float32)
+    dbproj_ref[...] += jnp.sum(doutw, axis=0, keepdims=True)
+
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(dq_heads, axis=-1),
+         jnp.concatenate(dk_heads, axis=-1),
+         jnp.concatenate(dv_heads, axis=-1)], axis=-1)  # (nw, N, 3C) fp32
+    dqkv = dqkv.reshape(nw * N, 3 * C)
+    dwqkv_ref[...] += jnp.dot(uw.T, dqkv.astype(x.dtype),
+                              preferred_element_type=jnp.float32)
+    dbqkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+    du = jnp.dot(dqkv.astype(x.dtype), wqkv_ref[...].T,
+                 preferred_element_type=jnp.float32)  # (nw*N, C)
+    du = du.reshape(nw, ws, ws, C).transpose(1, 0, 2, 3).reshape(ws, W, C)
+
+    # LN backward
+    dg_ref[...] += jnp.sum((du * xhat).reshape(ws * W, C), axis=0,
+                           keepdims=True)
+    db_ref[...] += jnp.sum(du.reshape(ws * W, C), axis=0, keepdims=True)
+    dxhat = du * g_ref[0]
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = inv * (dxhat - m1 - xhat * m2)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+class StaticMask:
+    """Hashable wrapper so a numpy SW-MSA mask can ride a custom_vjp
+    nondiff argument (numpy arrays are unhashable)."""
+
+    __slots__ = ("arr", "_hash")
+
+    def __init__(self, arr: np.ndarray):
+        self.arr = arr
+        self._hash = hash((arr.shape, arr.tobytes()))
+
+    def __hash__(self):
+        return self._hash
+
+    def __eq__(self, other):
+        return (isinstance(other, StaticMask) and self._hash == other._hash
+                and np.array_equal(self.arr, other.arr))
+
+
+@functools.lru_cache(maxsize=None)
+def static_mask(H: int, W: int, ws: int, shift: int) -> Optional[StaticMask]:
+    from sunet_tf_tpu.ops.window import shift_attn_mask
+
+    if shift == 0:
+        return None
+    return StaticMask(shift_attn_mask(H, W, ws, shift))
+
+
+def _ln_wmsa_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                      mask, ws, num_heads, scale):
+    # params arrive in storage dtype (fp32); compute in x.dtype
+    return fused_ln_window_attention(
+        x, ln_scale, ln_bias, wqkv.astype(x.dtype),
+        None if bqkv is None else bqkv,
+        wproj.astype(x.dtype), bproj, bias, mask,
+        ws=ws, num_heads=num_heads, scale=scale)
+
+
+def _ln_wmsa_bwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                      mask, dout, ws, num_heads, scale, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, W, C = x.shape
+    N = ws * ws
+    nw = W // ws
+    n_rows = H // ws
+    h = num_heads
+    has_mask = mask is not None
+    if mask is None:
+        mask_arr = jnp.zeros((1, 1, 1), jnp.float32)
+        mask_block = (1, 1, 1)
+        mask_index = lambda bb, r: (0, 0, 0)
+    else:
+        mask_arr = jnp.asarray(mask, jnp.float32)
+        mask_block = (nw, N, N)
+        mask_index = lambda bb, r: (r, 0, 0)
+    bqkv_arr = (jnp.zeros((3 * C,), jnp.float32) if bqkv is None else bqkv)
+
+    kernel = functools.partial(_strip_bwd_kernel, ws=ws, num_heads=h,
+                               scale=float(scale), has_mask=has_mask)
+    full = lambda *shape: pl.BlockSpec(shape, lambda bb, r: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    f32row = lambda a, n: a.astype(jnp.float32).reshape(1, n)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, n_rows),
+        in_specs=[
+            pl.BlockSpec((1, ws, W, C), lambda bb, r: (bb, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ws, W, C), lambda bb, r: (bb, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, C), full(1, C),
+            full(C, 3 * C), full(1, 3 * C),
+            full(C, C),
+            full(h, N, N),
+            pl.BlockSpec(mask_block, mask_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ws, W, C), lambda bb, r: (bb, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, C), full(1, C),
+            full(C, 3 * C), full(1, 3 * C),
+            full(C, C), full(1, C),
+            full(h, N, N),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((h, N, N), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, dout.astype(x.dtype), f32row(ln_scale, C), f32row(ln_bias, C),
+      wqkv.astype(x.dtype), f32row(bqkv_arr, 3 * C), wproj.astype(x.dtype),
+      jnp.asarray(bias, jnp.float32), mask_arr)
+    dx, dg, db, dwqkv, dbqkv, dwproj, dbproj, dbias = outs
+    return (dx, dg.reshape(ln_scale.shape).astype(ln_scale.dtype),
+            db.reshape(ln_bias.shape).astype(ln_bias.dtype),
+            dwqkv.astype(wqkv.dtype),
+            None if bqkv is None else dbqkv.reshape(bqkv.shape).astype(bqkv.dtype),
+            dwproj.astype(wproj.dtype),
+            dbproj.reshape(bproj.shape).astype(bproj.dtype),
+            dbias.astype(bias.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def ln_window_attention_trainable(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                                  bproj, bias, mask_static, ws, num_heads,
+                                  scale):
+    """Differentiable fused LN+W-MSA sublayer (Pallas fwd AND bwd).
+
+    mask_static: a StaticMask (hashable) or None for unshifted blocks —
+    passed as a nondiff argument.
+    """
+    mask = None if mask_static is None else jnp.asarray(
+        mask_static.arr, jnp.float32)
+    return _ln_wmsa_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                             bias, mask, ws, num_heads, scale)
+
+
+def _trainable_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                   mask_static, ws, num_heads, scale):
+    out = ln_window_attention_trainable(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+        mask_static, ws, num_heads, scale)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias)
+
+
+def _trainable_bwd(mask_static, ws, num_heads, scale, res, dout):
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias = res
+    mask = None if mask_static is None else jnp.asarray(
+        mask_static.arr, jnp.float32)
+    dx, dg, db, dwqkv, dbqkv, dwproj, dbproj, dbias = _ln_wmsa_bwd_impl(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask, dout,
+        ws, num_heads, scale)
+    if bqkv is None:
+        dbqkv = None
+    return (dx, dg, db, dwqkv, dbqkv, dwproj, dbproj, dbias)
+
+
+ln_window_attention_trainable.defvjp(_trainable_fwd, _trainable_bwd)
+
+
+# ---------------------------------------------------------------------------
 # v3: whole-image fused Swin BLOCK kernel —
 # LN1 + partition + W-MSA + reverse + residual + LN2 + MLP + residual,
 # one HBM read and one write for the entire transformer block.

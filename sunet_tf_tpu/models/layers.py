@@ -323,6 +323,25 @@ class SwinBlock(nnx.Module):
             shortcut = x
             if use_pallas:
                 x = self._attention_fused(x, ss)
+            elif self.backend == "pallas" and self._can_fuse:
+                # training: differentiable fused sublayer (Pallas fwd+bwd);
+                # stochastic depth still applies outside via drop_path.
+                from sunet_tf_tpu.kernels.window_attention import (
+                    ln_window_attention_trainable,
+                    static_mask,
+                )
+
+                a = self.attn
+                xr = roll2d(x, -ss)
+                out = ln_window_attention_trainable(
+                    xr, self.norm1.scale[...], self.norm1.bias[...],
+                    a.qkv.kernel[...],
+                    None if a.qkv.bias is None else a.qkv.bias[...],
+                    a.proj.kernel[...], a.proj.bias[...],
+                    a.bias_matrix(),
+                    static_mask(H, W, self.window_size, ss),
+                    self.window_size, a.num_heads, a.scale)
+                x = roll2d(out, ss)
             else:
                 x = self.norm1(x).astype(shortcut.dtype)
                 x = self._attention(x, ss, ka)

@@ -285,8 +285,11 @@ def build_model(cfg: Config, seed: int = 0) -> SUNet:
     """Build a SUNet from a full Config (compute dtype from cfg.tpu)."""
     dtype = {"bfloat16": jnp.bfloat16, "float32": None,
              "float16": jnp.float16}.get(cfg.tpu.compute_dtype, None)
+    backend = cfg.tpu.attention_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     return SUNet(cfg.swinunet, dtype=dtype,
-                 attention_backend=cfg.tpu.attention_backend,
+                 attention_backend=backend,
                  rngs=nnx.Rngs(seed))
 
 
