@@ -626,6 +626,177 @@ def fused_ln_mlp(
       w2, f32row(b2, C), drop_path_scale.astype(jnp.float32))
 
 
+# ---------------------------------------------------------------------------
+# Trainable LN+MLP sublayer (branch only — residual/drop-path applied by
+# the caller): Pallas forward and backward with fp32 weight grads.
+# ---------------------------------------------------------------------------
+
+
+def _gelu_grad(x: jnp.ndarray) -> jnp.ndarray:
+    """d/dx gelu(x) = Phi(x) + x * phi(x), fp32."""
+    phi = jnp.exp(-0.5 * x * x) * 0.3989422804014327
+    cdf = 0.5 * (1.0 + _erf(x * 0.7071067811865476))
+    return cdf + x * phi
+
+
+def _mlp_branch_kernel(y_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                       o_ref):
+    _, Hs, W, C = y_ref.shape
+    y = y_ref[0]
+    yn = _ln(y, g_ref[0], b_ref[0]).astype(y.dtype)
+    a = jnp.dot(yn.reshape(Hs * W, C), w1_ref[...],
+                preferred_element_type=jnp.float32) + b1_ref[0]
+    h1 = _gelu_exact(a).astype(y.dtype)
+    m = jnp.dot(h1, w2_ref[...],
+                preferred_element_type=jnp.float32) + b2_ref[0]
+    o_ref[0] = m.reshape(Hs, W, C).astype(o_ref.dtype)
+
+
+def _mlp_bwd_kernel(y_ref, dout_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                    dy_ref, dg_ref, db_ref, dw1_ref, db1_ref, dw2_ref,
+                    db2_ref, *, eps: float = 1e-5):
+    _, Hs, W, C = y_ref.shape
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    y = y_ref[0]
+    yf = y.astype(jnp.float32)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    yc = yf - mu
+    var = jnp.mean(yc * yc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    yhat = yc * inv
+    yn = (yhat * g_ref[0] + b_ref[0]).astype(y.dtype)
+    yn2 = yn.reshape(Hs * W, C)
+    a = jnp.dot(yn2, w1_ref[...], preferred_element_type=jnp.float32) + b1_ref[0]
+    h1 = _gelu_exact(a).astype(y.dtype)
+
+    dm = dout_ref[0].reshape(Hs * W, C).astype(y.dtype)
+    dw2_ref[...] += jnp.dot(h1.T, dm, preferred_element_type=jnp.float32)
+    db2_ref[...] += jnp.sum(dm.astype(jnp.float32), axis=0, keepdims=True)
+    dh1 = jnp.dot(dm, w2_ref[...].T, preferred_element_type=jnp.float32)
+    da = dh1 * _gelu_grad(a)
+    dab = da.astype(y.dtype)
+    dw1_ref[...] += jnp.dot(yn2.T, dab, preferred_element_type=jnp.float32)
+    db1_ref[...] += jnp.sum(da, axis=0, keepdims=True)
+    dyn = jnp.dot(dab, w1_ref[...].T,
+                  preferred_element_type=jnp.float32).reshape(Hs, W, C)
+
+    dg_ref[...] += jnp.sum((dyn * yhat).reshape(Hs * W, C), axis=0,
+                           keepdims=True)
+    db_ref[...] += jnp.sum(dyn.reshape(Hs * W, C), axis=0, keepdims=True)
+    dyhat = dyn * g_ref[0]
+    m1 = jnp.mean(dyhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyhat * yhat, axis=-1, keepdims=True)
+    dy = inv * (dyhat - m1 - yhat * m2)
+    dy_ref[0] = dy.astype(dy_ref.dtype)
+
+
+def _mlp_strips(H: int, W: int, C: int) -> int:
+    S = 1
+    while (H * W * C) // S > 2048 * 96 and H % (S * 2) == 0:
+        S *= 2
+    return S
+
+
+def _ln_mlp_branch(y, ln_scale, ln_bias, w1, b1, w2, b2, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, W, C = y.shape
+    hidden = w1.shape[1]
+    S = _mlp_strips(H, W, C)
+    Hs = H // S
+    f32row = lambda a, n: a.astype(jnp.float32).reshape(1, n)
+    full = lambda *shape: pl.BlockSpec(shape, lambda bb, g2: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _mlp_branch_kernel,
+        grid=(B, S),
+        in_specs=[
+            pl.BlockSpec((1, Hs, W, C), lambda bb, g2: (bb, g2, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, C), full(1, C),
+            full(C, hidden), full(1, hidden),
+            full(hidden, C), full(1, C),
+        ],
+        out_specs=pl.BlockSpec((1, Hs, W, C), lambda bb, g2: (bb, g2, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
+        interpret=interpret,
+    )(y, f32row(ln_scale, C), f32row(ln_bias, C), w1.astype(y.dtype),
+      f32row(b1, hidden), w2.astype(y.dtype), f32row(b2, C))
+
+
+@jax.custom_vjp
+def ln_mlp_trainable(y, ln_scale, ln_bias, w1, b1, w2, b2):
+    """fc2(gelu(fc1(LN(y)))) — the MLP branch only; Pallas fwd+bwd."""
+    return _ln_mlp_branch(y, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _ln_mlp_fwd(y, ln_scale, ln_bias, w1, b1, w2, b2):
+    out = ln_mlp_trainable(y, ln_scale, ln_bias, w1, b1, w2, b2)
+    return out, (y, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _ln_mlp_bwd(res, dout):
+    y, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    interpret = jax.default_backend() != "tpu"
+    B, H, W, C = y.shape
+    hidden = w1.shape[1]
+    S = _mlp_strips(H, W, C)
+    Hs = H // S
+    f32row = lambda a, n: a.astype(jnp.float32).reshape(1, n)
+    full = lambda *shape: pl.BlockSpec(shape, lambda bb, g2: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _mlp_bwd_kernel,
+        grid=(B, S),
+        in_specs=[
+            pl.BlockSpec((1, Hs, W, C), lambda bb, g2: (bb, g2, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hs, W, C), lambda bb, g2: (bb, g2, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, C), full(1, C),
+            full(C, hidden), full(1, hidden),
+            full(hidden, C),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hs, W, C), lambda bb, g2: (bb, g2, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, C), full(1, C),
+            full(C, hidden), full(1, hidden),
+            full(hidden, C), full(1, C),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(y.shape, y.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(y, dout.astype(y.dtype), f32row(ln_scale, C), f32row(ln_bias, C),
+      w1.astype(y.dtype), f32row(b1, hidden), w2.astype(y.dtype))
+    dy, dg, db, dw1, db1, dw2, db2 = outs
+    return (dy, dg.reshape(ln_scale.shape).astype(ln_scale.dtype),
+            db.reshape(ln_bias.shape).astype(ln_bias.dtype),
+            dw1.astype(w1.dtype), db1.reshape(b1.shape).astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.reshape(b2.shape).astype(b2.dtype))
+
+
+ln_mlp_trainable.defvjp(_ln_mlp_fwd, _ln_mlp_bwd)
+
+
 def fused_swin_block(
     x: jnp.ndarray,
     ln1: tuple,

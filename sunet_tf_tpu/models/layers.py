@@ -323,9 +323,11 @@ class SwinBlock(nnx.Module):
             shortcut = x
             if use_pallas:
                 x = self._attention_fused(x, ss)
-            elif self.backend == "pallas" and self._can_fuse:
+            elif self.backend == "pallas" and self._can_fuse and self.dim <= 384:
                 # training: differentiable fused sublayer (Pallas fwd+bwd);
                 # stochastic depth still applies outside via drop_path.
+                # C>384 stays on XLA: fp32 weight-grad accumulators would
+                # exceed the 16MB VMEM budget.
                 from sunet_tf_tpu.kernels.window_attention import (
                     ln_window_attention_trainable,
                     static_mask,
@@ -356,6 +358,14 @@ class SwinBlock(nnx.Module):
                     self.mlp.fc1.bias[...],
                     self.mlp.fc2.kernel[...].astype(x.dtype),
                     self.mlp.fc2.bias[...])
+            elif self.backend == "pallas" and self._can_fuse and self.dim <= 384:
+                from sunet_tf_tpu.kernels.window_attention import ln_mlp_trainable
+
+                y = ln_mlp_trainable(
+                    x, self.norm2.scale[...], self.norm2.bias[...],
+                    self.mlp.fc1.kernel[...], self.mlp.fc1.bias[...],
+                    self.mlp.fc2.kernel[...], self.mlp.fc2.bias[...])
+                x = x + drop_path(y, self.drop_path_rate, kd2)
             else:
                 y = self.mlp(self.norm2(x).astype(x.dtype), key=km)
                 x = x + drop_path(y, self.drop_path_rate, kd2)
