@@ -48,6 +48,17 @@ class Trainer:
         self.task = task or ("mask" if cfg.swinunet.out_chans == 1 else "denoise")
         self.sigma = sigma
         self.verbose = verbose
+        # Early shape-contract validation (a mismatch otherwise surfaces as
+        # an obscure broadcast error deep inside jitted metrics, or worse,
+        # silently broadcasts in the loss).
+        if self.task == "mask" and cfg.swinunet.out_chans != 1:
+            raise ValueError(
+                f"task 'mask' requires OUT_CHANS=1 (1-channel logits vs the "
+                f"grayscale target), got OUT_CHANS={cfg.swinunet.out_chans}")
+        if self.task == "denoise" and cfg.swinunet.out_chans != cfg.swinunet.in_chans:
+            raise ValueError(
+                f"task 'denoise' requires OUT_CHANS==IN_CHANS "
+                f"({cfg.swinunet.in_chans}), got {cfg.swinunet.out_chans}")
 
         self.model = build_model(cfg, seed=cfg.training.seed)
         self.graphdef, self.params = nnx.split(self.model, nnx.Param)

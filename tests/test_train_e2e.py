@@ -35,6 +35,10 @@ def cfg_factory(tmp_path_factory):
         _make_dataset(str(root / "train"), n=8, mask_task=task == "mask")
         _make_dataset(str(root / "val"), n=2, mask_task=task == "mask")
         cfg = tiny_config()
+        if task == "denoise":
+            # denoise is RGB->RGB (validated by Trainer)
+            cfg = cfg.replace(swinunet=cfg.swinunet.__class__(
+                **{**cfg.swinunet.__dict__, "out_chans": 3}))
         cfg = cfg.replace(
             optim=cfg.optim.__class__(batch=4, epochs=2, lr_initial=1e-3,
                                       lr_min=1e-5, warmup_epochs=1),
