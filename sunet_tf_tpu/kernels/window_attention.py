@@ -44,6 +44,17 @@ from jax.experimental.pallas import tpu as pltpu
 from sunet_tf_tpu.ops.window import window_partition, window_reverse
 
 
+def _compiler_params():
+    """Mosaic VMEM budget, overridable for chips with more VMEM headroom
+    (pairs with SUNET_VMEM_TOKENS strip sizing)."""
+    import os as _os
+
+    kib = _os.environ.get("SUNET_VMEM_LIMIT_KIB")
+    if kib is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(kib) * 1024)
+
+
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
             mask_ref, o_ref, *, num_heads: int, scale: float, has_mask: bool):
     WT, N, C = x_ref.shape
@@ -161,6 +172,7 @@ def wmsa_core(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(xw.shape, xw.dtype),
         interpret=interpret,
+        compiler_params=_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * N * C * 4 * C + 4 * T * N * N * C,
             bytes_accessed=2 * T * N * C * xw.dtype.itemsize
@@ -416,6 +428,7 @@ def _ln_wmsa_bwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
             jax.ShapeDtypeStruct((h, N, N), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(x, dout.astype(x.dtype), f32row(ln_scale, C), f32row(ln_bias, C),
       wqkv.astype(x.dtype), f32row(bqkv_arr, 3 * C), wproj.astype(x.dtype),
       jnp.asarray(bias, jnp.float32), mask_arr)
@@ -616,6 +629,7 @@ def fused_ln_mlp(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
         interpret=interpret,
+        compiler_params=_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * W * C * hidden,
             bytes_accessed=2 * B * H * W * C * y.dtype.itemsize
@@ -731,6 +745,7 @@ def _ln_mlp_branch(y, ln_scale, ln_bias, w1, b1, w2, b2, interpret=None):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(y, f32row(ln_scale, C), f32row(ln_bias, C), w1.astype(y.dtype),
       f32row(b1, hidden), w2.astype(y.dtype), f32row(b2, C))
 
@@ -785,6 +800,7 @@ def _ln_mlp_bwd(res, dout):
             jax.ShapeDtypeStruct((1, C), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(y, dout.astype(y.dtype), f32row(ln_scale, C), f32row(ln_bias, C),
       w1.astype(y.dtype), f32row(b1, hidden), w2.astype(y.dtype))
     dy, dg, db, dw1, db1, dw2, db2 = outs
@@ -836,10 +852,14 @@ def fused_swin_block(
 
     # Split each image into S row-strips so per-program VMEM stays within
     # budget (~2k tokens at C=96 equivalent — measured to fit in the 16MB
-    # scoped limit); strips align to window rows.
+    # scoped limit; override via SUNET_VMEM_TOKENS together with
+    # --xla_tpu_scoped_vmem_limit_kib); strips align to window rows.
+    import os as _os
+
+    budget = int(_os.environ.get("SUNET_VMEM_TOKENS", 2048 * 96))
     tokens_c = H * W * C
     S = 1
-    while tokens_c // S > 2048 * 96 and (H // ws) % (S * 2) == 0:
+    while tokens_c // S > budget and (H // ws) % (S * 2) == 0:
         S *= 2
     Hs = H // S
     nW = (Hs // ws) * (W // ws)  # windows per strip
@@ -886,6 +906,7 @@ def fused_swin_block(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
+        compiler_params=_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * C * (4 * C + 2 * hidden)
             + 4 * B * H * W * N * C,
@@ -1028,6 +1049,7 @@ def fused_ln_window_attention(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
+        compiler_params=_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * C * 4 * C + 4 * B * H * W * N * C,
             bytes_accessed=2 * B * H * W * C * x.dtype.itemsize,
