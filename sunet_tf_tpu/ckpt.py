@@ -109,3 +109,18 @@ class BestTracker:
     def summary(self) -> dict:
         return {m: {"value": self.best[m], "epoch": self.best_epoch[m]}
                 for m in self.best}
+
+    def state(self) -> dict:
+        """JSON-safe snapshot for checkpoint meta (None = never updated —
+        JSON cannot carry the ±inf sentinel)."""
+        return {m: {"value": (float(self.best[m])
+                              if np.isfinite(self.best[m]) else None),
+                    "epoch": self.best_epoch[m]}
+                for m in self.best}
+
+    def load_state(self, state: Optional[dict]) -> None:
+        """Restore bests saved by state() (used on trainer resume)."""
+        for m, s in (state or {}).items():
+            if m in self.best and s.get("value") is not None:
+                self.best[m] = float(s["value"])
+                self.best_epoch[m] = s.get("epoch")

@@ -185,7 +185,7 @@ def config_from_dict(raw: dict) -> Config:
     tp = raw.get("TPU", {}) or {}
     tpu = TPUConfig(
         compute_dtype=str(_get(tp, "COMPUTE_DTYPE", "bfloat16")),
-        attention_backend=str(_get(tp, "ATTENTION_BACKEND", "xla")),
+        attention_backend=str(_get(tp, "ATTENTION_BACKEND", "auto")),
         data_parallel=int(_get(tp, "DATA_PARALLEL", 0)),
         donate=bool(_get(tp, "DONATE", True)),
     )

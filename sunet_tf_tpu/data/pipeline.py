@@ -134,8 +134,15 @@ class PairDataset:
 
 
 def batch_iterator(ds: PairDataset, batch: int, shuffle: bool = True,
-                   drop_last: bool = False, seed: int = 0) -> Iterator[dict]:
-    """Yield {'input','target'} uint8 batches (+ 'names' list)."""
+                   drop_last: bool = False, seed: int = 0,
+                   pad_to: int = 0) -> Iterator[dict]:
+    """Yield {'input','target'} uint8 batches (+ 'names' list).
+
+    pad_to > 1 pads a trailing partial batch (by wrapping around to the
+    epoch's first samples) so its leading dim is a multiple of the
+    data-parallel mesh axis — uneven shards fail inside jit otherwise.
+    Pad rows carry "valid"=0 so exact eval paths can mask them out.
+    """
     order = np.arange(len(ds))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
@@ -143,10 +150,17 @@ def batch_iterator(ds: PairDataset, batch: int, shuffle: bool = True,
         idx = order[start : start + batch]
         if drop_last and idx.size < batch:
             return
+        n_real = idx.size
+        if pad_to > 1 and idx.size % pad_to:
+            need = -(-idx.size // pad_to) * pad_to - idx.size
+            idx = np.concatenate([idx, np.resize(order, need)])
+        valid = np.zeros((idx.size,), np.float32)
+        valid[:n_real] = 1.0
         items = [ds.get(int(i)) for i in idx]
         yield {
             "input": np.stack([it[0] for it in items]),
             "target": np.stack([it[1] for it in items]),
+            "valid": valid,
             "names": [it[2] for it in items],
         }
 
@@ -166,8 +180,11 @@ class Prefetcher:
                     if self.put is not None:
                         item = self.put(item)
                     self.q.put((item, names))
-            finally:
                 self.q.put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                # A decode/IO error must fail the epoch loudly, not truncate
+                # it silently (the sentinel alone would read as "epoch done").
+                self.q.put(e)
 
         self.t = threading.Thread(target=run, daemon=True)
         self.t.start()
@@ -177,4 +194,6 @@ class Prefetcher:
             item = self.q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item

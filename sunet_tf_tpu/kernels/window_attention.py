@@ -527,14 +527,37 @@ def _ln(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
     return xc * jax.lax.rsqrt(var + eps) * g + b
 
 
+def _softmax_mode() -> str:
+    import os as _os
+
+    return _os.environ.get("SUNET_SOFTMAX", "shift")
+
+
 def _shift_softmax(s: jnp.ndarray) -> jnp.ndarray:
-    """Softmax without the row-max pass: exp(s - 40) / sum — EXACT softmax
-    (a constant shift cancels) as long as logits stay below ~127 (fp32 exp
-    overflows at 88 + 40). Attention logits in trained Swin models are far
-    below that; a tiny-sum guard keeps fully-underflowed rows finite.
-    Saves 2 of 5 VPU passes over the (nW, N, N) scores — measured ~13% of
-    the stage-0 block kernel."""
-    e = jnp.exp(s - 40.0)
+    """Row softmax used by every fused kernel. Two variants (selectable at
+    trace time via SUNET_SOFTMAX, default 'shift'):
+
+    - 'shift': exp(min(s, 80) - 40) / sum. A constant shift cancels, so
+      this is EXACT softmax whenever all row logits lie in (-47, 80];
+      the min() clamp fuses into the exp input chain (free VPU-wise) and
+      bounds exp at e^40 ≈ 2.4e17, so NO input can produce inf/NaN — the
+      unguarded exp(s-40) overflowed past logit 127 (advisor finding).
+      Beyond 80 the distribution saturates among the clamped entries
+      instead of exploding; rows whose logits ALL sit below -47 underflow
+      to zeros (guarded against 0/0). Trained Swin logits measured on our
+      checkpoints sit well inside the exact band — asserted by
+      tests/test_trained_numerics.py on trained weights.
+    - 'rowmax': textbook max-subtracted softmax, exact for every input;
+      costs one extra lane-reduction pass over the (nW, N, N) scores.
+      Measured on v5e @256² batch 32: 497 img/s vs shift's 526 (−5.4%,
+      below the 500 north star); kept as the paranoid fallback for
+      importing foreign checkpoints of unknown logit scale.
+    """
+    if _softmax_mode() == "rowmax":
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        return e / jnp.sum(e, axis=-1, keepdims=True)
+    e = jnp.exp(jnp.minimum(s, 80.0) - 40.0)
     return e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-37)
 
 

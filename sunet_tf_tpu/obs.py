@@ -84,41 +84,58 @@ class MetricsLogger:
             fig.savefig(os.path.join(d, f"{sub}_{split}_epoch_{epoch:03d}.png"))
             plt.close(fig)
 
+    # The reference renders four cumulative overlay chart sets per epoch —
+    # train, val, train+val, train+val+test — each split into a
+    # high-is-good and a low-is-good panel (reference train.py:592-712).
+    OVERLAY_SETS = (
+        ("train", ("train",)),
+        ("val", ("val",)),
+        ("train_val", ("train", "val")),
+        ("train_val_test", ("train", "val", "test")),
+    )
+
     def plot_overlays(self, epoch: int) -> None:
-        """High-is-good (AUROC/AUPRC/PSNR) and low-is-good (loss/MSE) panels
-        across splits, cumulative up to this epoch."""
+        """High-is-good (AUROC/AUPRC/PSNR) and low-is-good (loss/MSE) panels,
+        cumulative up to this epoch, for each of the reference's four
+        split combinations."""
         plt = self._plt()
         if plt is None:
             return
-        d = os.path.join(self.plots_root, "overlay")
-        os.makedirs(d, exist_ok=True)
         groups = {
             "high": ("auroc", "auprc", "psnr", "ssim"),
             "low": ("loss", "mse", "mse_w"),
         }
         colors = {"train": "tab:blue", "val": "tab:red", "test": "tab:green"}
-        for gname, metrics in groups.items():
-            series = [(s, m, h) for (s, m), h in self.history.items()
-                      if m in metrics and h]
-            if not series:
-                continue
-            fig = plt.figure(figsize=(12, 7))
-            for split, metric, h in sorted(series):
-                xs = sorted(h)
-                plt.plot(xs, [h[x] for x in xs], marker="o",
-                         color=colors.get(split, "black"),
-                         linestyle={"auroc": "-", "psnr": "-", "loss": "-",
-                                    "auprc": "--", "ssim": "--", "mse": "-.",
-                                    "mse_w": ":"}.get(metric, "-"),
-                         label=f"{split} {metric}")
-            plt.xlabel("Epoch")
-            plt.ylabel("higher is better" if gname == "high" else "lower is better")
-            plt.title(f"{gname}-metrics overlay (up to epoch {epoch})")
-            plt.grid(True)
-            plt.legend(loc="best")
-            plt.tight_layout()
-            fig.savefig(os.path.join(d, f"{gname}_metrics_up_to_epoch_{epoch:03d}.png"))
-            plt.close(fig)
+        for set_name, splits in self.OVERLAY_SETS:
+            d = os.path.join(self.plots_root, "overlay", set_name)
+            wrote_any = False
+            for gname, metrics in groups.items():
+                series = [(s, m, h) for (s, m), h in self.history.items()
+                          if m in metrics and s in splits and h]
+                if not series:
+                    continue
+                os.makedirs(d, exist_ok=True)
+                wrote_any = True
+                fig = plt.figure(figsize=(12, 7))
+                for split, metric, h in sorted(series):
+                    xs = sorted(h)
+                    plt.plot(xs, [h[x] for x in xs], marker="o",
+                             color=colors.get(split, "black"),
+                             linestyle={"auroc": "-", "psnr": "-", "loss": "-",
+                                        "auprc": "--", "ssim": "--", "mse": "-.",
+                                        "mse_w": ":"}.get(metric, "-"),
+                             label=f"{split} {metric}")
+                plt.xlabel("Epoch")
+                plt.ylabel("higher is better" if gname == "high"
+                           else "lower is better")
+                plt.title(f"{set_name} {gname}-metrics overlay "
+                          f"(up to epoch {epoch})")
+                plt.grid(True)
+                plt.legend(loc="best")
+                plt.tight_layout()
+                fig.savefig(os.path.join(
+                    d, f"{gname}_metrics_up_to_epoch_{epoch:03d}.png"))
+                plt.close(fig)
 
     # ------------------------------------------------------------------
     # CSV

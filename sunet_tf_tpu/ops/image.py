@@ -62,6 +62,17 @@ def psnr(target: jnp.ndarray, pred: jnp.ndarray, data_range: float = 1.0) -> jnp
     return 20.0 * jnp.log10(data_range / jnp.maximum(rmse, 1e-12))
 
 
+def psnr_per_sample(target: jnp.ndarray, pred: jnp.ndarray,
+                    data_range: float = 1.0) -> jnp.ndarray:
+    """(B,) PSNR per image — the reference's batch-1 eval protocol
+    (utils/image_utils.py:6-10 applied per item, train.py:158)."""
+    t = jnp.clip(target, 0.0, data_range).astype(jnp.float32)
+    p = jnp.clip(pred, 0.0, data_range).astype(jnp.float32)
+    ax = tuple(range(1, t.ndim))
+    rmse = jnp.sqrt(jnp.mean((t - p) ** 2, axis=ax))
+    return 20.0 * jnp.log10(data_range / jnp.maximum(rmse, 1e-12))
+
+
 def _gaussian_kernel1d(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     half = (size - 1) / 2.0
     coords = jnp.arange(size, dtype=jnp.float32) - half
@@ -113,6 +124,12 @@ def ssim(
     num = (2.0 * mu_xy + c1) * (2.0 * sigma_xy + c2)
     den = (mu_xx + mu_yy + c1) * (sigma_xx + sigma_yy + c2)
     return jnp.mean(num / den)
+
+
+def ssim_per_sample(target: jnp.ndarray, pred: jnp.ndarray, **kw) -> jnp.ndarray:
+    """(B,) mean SSIM per image (same math as :func:`ssim`, per-sample
+    reduction — the reference's batch-1 eval protocol)."""
+    return jax.vmap(lambda t, p: ssim(t[None], p[None], **kw))(target, pred)
 
 
 def dihedral(img: jnp.ndarray, op: jnp.ndarray) -> jnp.ndarray:

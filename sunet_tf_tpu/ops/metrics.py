@@ -125,15 +125,24 @@ def init_histograms(bins: int = DEFAULT_BINS) -> dict:
     }
 
 
-def update_histograms(hists: dict, scores: jnp.ndarray, labels: jnp.ndarray) -> dict:
+def update_histograms(hists: dict, scores: jnp.ndarray, labels: jnp.ndarray,
+                      sample_weight=None) -> dict:
     """Accumulate scores in [0,1] into pos/neg histograms. jit-friendly;
-    call inside the eval step. labels: {0,1} float or bool."""
+    call inside the eval/train step. labels: {0,1} float or bool.
+
+    sample_weight: optional (B,) per-sample weights (0 excludes a sample —
+    used to mask batch padding on the sharded eval path)."""
     bins = hists["pos"].shape[0]
     s = jnp.clip(scores.reshape(-1), 0.0, 1.0)
     idx = jnp.minimum((s * bins).astype(jnp.int32), bins - 1)
     lab = labels.reshape(-1).astype(jnp.float32)
-    pos = jnp.zeros((bins,), jnp.float32).at[idx].add(lab)
-    neg = jnp.zeros((bins,), jnp.float32).at[idx].add(1.0 - lab)
+    if sample_weight is None:
+        w = jnp.ones_like(lab)
+    else:
+        per = lab.size // sample_weight.shape[0]
+        w = jnp.repeat(sample_weight.astype(jnp.float32), per)
+    pos = jnp.zeros((bins,), jnp.float32).at[idx].add(lab * w)
+    neg = jnp.zeros((bins,), jnp.float32).at[idx].add((1.0 - lab) * w)
     return {"pos": hists["pos"] + pos, "neg": hists["neg"] + neg}
 
 

@@ -31,10 +31,22 @@ import optax
 from flax import nnx
 
 from sunet_tf_tpu.config import Config
-from sunet_tf_tpu.ops.image import add_awgn, dihedral_batch, psnr, rgb_to_gray
+from sunet_tf_tpu.ops.image import (
+    add_awgn,
+    dihedral_batch,
+    psnr,
+    psnr_per_sample,
+    rgb_to_gray,
+    ssim_per_sample,
+)
 from sunet_tf_tpu.ops.metrics import DEFAULT_BINS, init_histograms, update_histograms
 from sunet_tf_tpu.ops.morphology import boundary_ring_weights
-from sunet_tf_tpu.train.losses import charbonnier_loss, mse_loss
+from sunet_tf_tpu.train.losses import (
+    charbonnier_loss,
+    charbonnier_per_sample,
+    mse_loss,
+    mse_per_sample,
+)
 
 
 def make_optax_lr_schedule(cfg: Config, steps_per_epoch: int) -> Callable:
@@ -126,8 +138,14 @@ def build_steps(
             loss = charbonnier_loss(logits, tar, weights)
         return loss, (logits, weights)
 
-    def train_step(params, opt_state, batch, rng, step_idx):
-        """One optimizer step. Returns (params, opt_state, scalars)."""
+    def train_step(params, opt_state, batch, rng, step_idx, hists):
+        """One optimizer step. Returns (params, opt_state, scalars, hists).
+
+        For the mask task, sigmoid scores/labels stream into the pos/neg
+        histograms on device — the TPU-native replacement for the
+        reference's capped train-split pixel collection + host sync
+        (train.py:347-364; we accumulate ALL pixels, strictly more data
+        than its 200k-pixel subsample)."""
         key = jax.random.fold_in(rng, step_idx)
         inp, tar, key = prepare(batch, key)
         kmodel, _ = jax.random.split(key)
@@ -142,7 +160,9 @@ def build_steps(
         else:
             scalars["mse"] = mse_loss(logits, tar)
             scalars["mse_w"] = mse_loss(logits, tar, weights)
-        return params, opt_state, scalars
+            hists = update_histograms(hists, jax.nn.sigmoid(logits),
+                                      (tar > 0.5).astype(jnp.float32))
+        return params, opt_state, scalars, hists
 
     def init_metrics():
         if task == "mask":
@@ -150,34 +170,46 @@ def build_steps(
         return {}
 
     def eval_step(params, batch, hists):
-        """Deterministic eval; accumulates streaming metric state on device."""
+        """Deterministic eval; accumulates streaming metric state on device.
+
+        Returns per-sample metric SUMS plus the valid-sample count "n"
+        (the caller divides) so results are exact regardless of batch size,
+        sharding, or padding: the reference evaluates at batch 1
+        (train.py:158) and this reproduces that protocol at any batch.
+        batch may carry a "valid" (B,) 0/1 mask marking padded rows.
+        """
         inp = _normalize(batch["input"])
         tar = _normalize(batch["target"])
+        v = batch.get("valid")
+        v = (jnp.ones((inp.shape[0],), jnp.float32) if v is None
+             else v.astype(jnp.float32))
         if task == "denoise":
-            from sunet_tf_tpu.ops.image import rgb_to_gray, ssim
-
             logits = forward(params, inp)
             pred = jnp.clip(logits, 0.0, 1.0)
-            scalars = {
-                "loss": charbonnier_loss(logits, tar),
-                "mse": mse_loss(logits, tar),
-                "psnr": psnr(tar, pred),
-                # SSIM on grayscale, the evaluation.m protocol
-                "ssim": ssim(rgb_to_gray(tar) if tar.shape[-1] == 3 else tar,
-                             rgb_to_gray(pred) if pred.shape[-1] == 3 else pred),
+            # SSIM on grayscale, the evaluation.m protocol
+            tg = rgb_to_gray(tar) if tar.shape[-1] == 3 else tar
+            pg = rgb_to_gray(pred) if pred.shape[-1] == 3 else pred
+            sums = {
+                "loss": jnp.sum(charbonnier_per_sample(logits, tar) * v),
+                "mse": jnp.sum(mse_per_sample(logits, tar) * v),
+                "psnr": jnp.sum(psnr_per_sample(tar, pred) * v),
+                "ssim": jnp.sum(ssim_per_sample(tg, pg) * v),
+                "n": jnp.sum(v),
             }
-            return scalars, hists
+            return sums, hists
         tar = _prep_mask_target(tar)
         logits = forward(params, inp)
         weights = boundary_ring_weights(tar)
         prob = jax.nn.sigmoid(logits)
-        scalars = {
-            "loss": charbonnier_loss(logits, tar, weights),
-            "mse": mse_loss(logits, tar),
-            "mse_w": mse_loss(logits, tar, weights),
+        sums = {
+            "loss": jnp.sum(charbonnier_per_sample(logits, tar, weights) * v),
+            "mse": jnp.sum(mse_per_sample(logits, tar) * v),
+            "mse_w": jnp.sum(mse_per_sample(logits, tar, weights) * v),
+            "n": jnp.sum(v),
         }
-        hists = update_histograms(hists, prob, (tar > 0.5).astype(jnp.float32))
-        return scalars, hists
+        hists = update_histograms(hists, prob, (tar > 0.5).astype(jnp.float32),
+                                  sample_weight=v)
+        return sums, hists
 
     return TrainStepFns(train_step=train_step, eval_step=eval_step,
                         init_metrics=init_metrics)
@@ -197,16 +229,19 @@ def jit_steps(
 
         rep = NamedSharding(mesh, P())
         dat = NamedSharding(mesh, P("data"))
-        batch_shard = {"input": dat, "target": dat}
-        kwargs_train["in_shardings"] = (rep, rep, batch_shard, rep, rep)
-        kwargs_train["out_shardings"] = (rep, rep, rep)
-        # eval batches are small (reference uses batch 1, train.py:158) and
-        # may not divide the mesh — keep them replicated.
-        kwargs_eval["in_shardings"] = (rep, rep, rep)
+        # `dat` is a pytree PREFIX for the batch dict: every leaf (input,
+        # target, optional valid mask) is batch-leading.
+        kwargs_train["in_shardings"] = (rep, rep, dat, rep, rep, rep)
+        kwargs_train["out_shardings"] = (rep, rep, rep, rep)
+        # eval batches are padded to a 'data' multiple by batch_iterator
+        # (pad rows masked by "valid"), so eval shards over the mesh too —
+        # the reference's batch-1 serialized eval (train.py:158) was a
+        # self-inflicted bottleneck on a multi-chip mesh.
+        kwargs_eval["in_shardings"] = (rep, dat, rep)
         kwargs_eval["out_shardings"] = (rep, rep)
     train = jax.jit(
         fns.train_step,
-        donate_argnums=(0, 1) if donate else (),
+        donate_argnums=(0, 1, 5) if donate else (),
         **kwargs_train,
     )
     ev = jax.jit(fns.eval_step, donate_argnums=(2,) if donate else (), **kwargs_eval)

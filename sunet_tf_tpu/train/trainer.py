@@ -71,8 +71,12 @@ class Trainer:
                         if tr.test_dir and os.path.isdir(tr.test_dir) else None)
 
         n_train = len(self.train_ds) if self.train_ds else 1
+        # Must match what train_epoch actually runs: drop_last=True when the
+        # dataset exceeds one batch (floor), one padded partial batch
+        # otherwise — a ceil here would make the optax step count lag the
+        # assumed epoch and shift warmup/cosine later every epoch.
         self.steps_per_epoch = (tr.steps_per_epoch or
-                                max(1, -(-n_train // cfg.optim.batch)))
+                                max(1, n_train // cfg.optim.batch))
         self.tx = make_optimizer(cfg, self.steps_per_epoch)
         self.opt_state = self.tx.init(self.params)
 
@@ -114,17 +118,14 @@ class Trainer:
         self.params = restored["params"]
         self.opt_state = restored["opt_state"]
         self.start_epoch = int(restored["epoch"]) + 1
+        # Restore per-metric bests so a worse post-resume epoch cannot
+        # overwrite pre-resume best_<metric> checkpoints.
+        self.best.load_state(restored["meta"].get("best"))
         if self.verbose:
             print(f"==> Resumed from {p} at epoch {self.start_epoch}")
 
     def _put(self, batch):
         return shard_batch(self.mesh, batch)
-
-    def _put_replicated(self, batch):
-        from sunet_tf_tpu.parallel.mesh import replicate
-
-        s = replicate(self.mesh)
-        return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
     # ------------------------------------------------------------------
 
@@ -135,14 +136,16 @@ class Trainer:
         # patch datasets; deliberate deviation).
         it = batch_iterator(self.train_ds, self.cfg.optim.batch, shuffle=True,
                             drop_last=len(self.train_ds) > self.cfg.optim.batch,
-                            seed=self.cfg.training.seed + epoch)
+                            seed=self.cfg.training.seed + epoch,
+                            pad_to=self.mesh.shape.get("data", 1))
         scalars_acc: dict = {}
         nsteps = 0
         base_step = (epoch - 1) * self.steps_per_epoch
+        hists = self.fns.init_metrics()
         for batch, _names in Prefetcher(it, put=self._put):
             step_idx = jnp.uint32(base_step + nsteps)
-            self.params, self.opt_state, scalars = self.fns.train_step(
-                self.params, self.opt_state, batch, self.rng, step_idx)
+            self.params, self.opt_state, scalars, hists = self.fns.train_step(
+                self.params, self.opt_state, batch, self.rng, step_idx, hists)
             for k, v in scalars.items():
                 scalars_acc.setdefault(k, []).append(v)
             nsteps += 1
@@ -150,22 +153,46 @@ class Trainer:
                 break
         out = {k: _mean(v) for k, v in scalars_acc.items()}
         out["steps"] = nsteps
+        if self.task == "mask" and hists:
+            # train-split AUROC/AUPRC from the on-device histograms
+            # (reference train.py:380-416 collected capped train pixels)
+            out["auroc"] = auroc_from_histograms(hists)
+            out["auprc"] = auprc_from_histograms(hists)
+            out["_hists"] = hists
         return out
 
-    def eval_epoch(self, ds: PairDataset, batch_size: int = 1) -> dict:
+    def eval_epoch(self, ds: PairDataset, batch_size: int = 0) -> dict:
+        """Evaluate a dataset exactly (per-sample sums / count — identical
+        numbers at any batch size) with the batch sharded over the mesh.
+        batch_size 0 picks a mesh-friendly batch; the reference serialized
+        eval at batch 1 (train.py:158)."""
+        d = self.mesh.shape.get("data", 1)
+        if batch_size <= 0:
+            batch_size = max(d, min(self.cfg.optim.batch, len(ds)))
         hists = self.fns.init_metrics()
-        it = batch_iterator(ds, batch_size, shuffle=False)
-        scalars_acc: dict = {}
-        for batch, _names in Prefetcher(it, put=self._put_replicated):
-            scalars, hists = self.fns.eval_step(self.params, batch, hists)
-            for k, v in scalars.items():
-                scalars_acc.setdefault(k, []).append(v)
-        out = {k: _mean(v) for k, v in scalars_acc.items()}
+        it = batch_iterator(ds, batch_size, shuffle=False, pad_to=d)
+        sums_acc: dict = {}
+        for batch, _names in Prefetcher(it, put=self._put):
+            sums, hists = self.fns.eval_step(self.params, batch, hists)
+            for k, v in sums.items():
+                sums_acc[k] = sums_acc.get(k, 0.0) + float(v)
+        n = max(sums_acc.pop("n", 0.0), 1e-12)
+        out = {k: v / n for k, v in sums_acc.items()}
         if self.task == "mask" and hists:
             out["auroc"] = auroc_from_histograms(hists)
             out["auprc"] = auprc_from_histograms(hists)
             out["_hists"] = hists
         return out
+
+    def _plot_split_curves(self, split: str, epoch: int, hists, scalars) -> None:
+        """Per-epoch ROC/PR plots for a split (reference emits them for
+        train train.py:395-416, val :501-531, and test :533-587)."""
+        if hists is None or np.isnan(scalars.get("auroc", np.nan)):
+            return
+        fpr, tpr = roc_curve_from_histograms(hists)
+        rec, prec = pr_curve_from_histograms(hists)
+        self.logger.plot_roc_pr(split, epoch, fpr, tpr, rec, prec,
+                                scalars["auroc"], scalars["auprc"])
 
     # ------------------------------------------------------------------
 
@@ -176,32 +203,37 @@ class Trainer:
         for epoch in range(self.start_epoch, cfg.optim.epochs + 1):
             t0 = time.time()
             tr = self.train_epoch(epoch)
+            tr_hists = tr.pop("_hists", None)
             self.logger.log_dict("train", {k: v for k, v in tr.items()
                                            if k != "steps"}, epoch)
+            self._plot_split_curves("train", epoch, tr_hists, tr)
 
             if epoch % val_after == 0 and self.val_ds is not None:
-                va = self.eval_epoch(self.val_ds, batch_size=1)
+                va = self.eval_epoch(self.val_ds)
                 hists = va.pop("_hists", None)
                 self.logger.log_dict("val", va, epoch)
-                if hists is not None and not np.isnan(va.get("auroc", np.nan)):
-                    fpr, tpr = roc_curve_from_histograms(hists)
-                    rec, prec = pr_curve_from_histograms(hists)
-                    self.logger.plot_roc_pr("val", epoch, fpr, tpr, rec, prec,
-                                            va["auroc"], va["auprc"])
+                self._plot_split_curves("val", epoch, hists, va)
                 for m in self.best.best:
                     if m in va:
                         self.best.update(m, va[m], epoch, self.params)
 
                 if self.test_ds is not None:
-                    te = self.eval_epoch(self.test_ds, batch_size=1)
-                    te.pop("_hists", None)
+                    te = self.eval_epoch(self.test_ds)
+                    te_hists = te.pop("_hists", None)
                     self.logger.log_dict("test", te, epoch)
+                    self._plot_split_curves("test", epoch, te_hists, te)
 
             self.logger.plot_overlays(epoch)
             save_checkpoint(self.model_dir, "latest", self.params,
-                            self.opt_state, epoch=epoch)
+                            self.opt_state, epoch=epoch,
+                            extra={"best": self.best.state()})
             if self.verbose:
                 msg = "  ".join(f"{k}={v:.6f}" for k, v in tr.items() if k != "steps")
+                if tr_hists is not None:
+                    # console pos/neg pixel stats (reference train.py:729-739)
+                    n_pos = float(np.sum(np.asarray(tr_hists["pos"])))
+                    n_neg = float(np.sum(np.asarray(tr_hists["neg"])))
+                    msg += f"  pos_px={n_pos:.0f}  neg_px={n_neg:.0f}"
                 print(f"Epoch {epoch}\ttime {time.time()-t0:.1f}s\t{msg}")
 
         self.logger.write_csv()

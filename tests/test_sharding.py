@@ -38,8 +38,9 @@ def _run(cfg, graphdef, params, tx, batch, mesh, augment=False):
                       augment=augment)
     fns = jit_steps(fns, mesh=mesh, donate=False)
     b = shard_batch(mesh, batch) if mesh is not None else batch
-    p, o, scalars = fns.train_step(params, opt_state, b,
-                                   jax.random.key(0), jnp.uint32(0))
+    p, o, scalars, _h = fns.train_step(params, opt_state, b,
+                                       jax.random.key(0), jnp.uint32(0),
+                                       fns.init_metrics())
     return p, scalars
 
 

@@ -34,6 +34,8 @@ def cfg_factory(tmp_path_factory):
         root = tmp_path_factory.mktemp(f"data_{task}")
         _make_dataset(str(root / "train"), n=8, mask_task=task == "mask")
         _make_dataset(str(root / "val"), n=2, mask_task=task == "mask")
+        _make_dataset(str(root / "test"), n=2, mask_task=task == "mask",
+                      seed=7)
         cfg = tiny_config()
         if task == "denoise":
             # denoise is RGB->RGB (validated by Trainer)
@@ -45,6 +47,7 @@ def cfg_factory(tmp_path_factory):
             training=cfg.training.__class__(
                 train_ps=64, val_ps=64,
                 train_dir=str(root / "train"), val_dir=str(root / "val"),
+                test_dir=str(root / "test"),
                 save_dir=str(root / "ckpt"), seed=85),
             # data_parallel=1 keeps CPU-host compiles fast; the sharded path
             # is covered by test_sharding.py / dryrun_multichip.
@@ -61,12 +64,26 @@ def test_mask_task_end_to_end(cfg_factory):
     cfg = cfg_factory("mask")
     t = Trainer(cfg, task="mask", verbose=False)
     summary = t.fit()
-    # losses logged for both epochs and val metrics exist
+    # losses logged for both epochs; AUROC/AUPRC on ALL THREE splits
+    # (reference train.py:380-416 train, :483-531 val, :533-587 test)
     hist = t.logger.history
     assert set(hist[("train", "loss")]) == {1, 2}
-    assert ("val", "auroc") in hist and ("val", "mse_w") in hist
+    for split in ("train", "val", "test"):
+        assert (split, "auroc") in hist, f"missing {split} auroc"
+        assert (split, "auprc") in hist, f"missing {split} auprc"
+    assert ("val", "mse_w") in hist
     auroc = hist[("val", "auroc")][2]
     assert 0.0 <= auroc <= 1.0
+    # per-epoch ROC/PR plot PNGs exist for every split
+    plots = os.path.join(t.log_dir, "plots")
+    for split in ("train", "val", "test"):
+        for sub in ("roc", "pr"):
+            d = os.path.join(plots, sub, split)
+            assert os.path.isdir(d) and os.listdir(d), f"no {sub}/{split} plots"
+    # the reference's four cumulative overlay chart sets (train.py:592-712)
+    for combo in ("train", "val", "train_val", "train_val_test"):
+        d = os.path.join(plots, "overlay", combo)
+        assert os.path.isdir(d) and os.listdir(d), f"no overlay set {combo}"
     # latest + best checkpoints written
     assert os.path.isdir(os.path.join(t.model_dir, "latest"))
     assert any(d.startswith("best_") for d in os.listdir(t.model_dir))
