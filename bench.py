@@ -1,10 +1,21 @@
 #!/usr/bin/env python
-"""Headline benchmark: 256x256 denoise inference throughput per chip.
+"""Benchmarks on the real chip. Default (no args): the headline 256x256
+denoise inference throughput — prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline"} where vs_baseline is relative to
+the driver's 500 img/s/chip north star (BASELINE.json), preceded by a
+fused-vs-XLA numerics gate (compiled Mosaic, not interpret mode — CI runs
+the kernels on CPU only, so hardware numerics are asserted here).
 
-Runs the default SUNet (99.7M params, reference training.yaml recipe) in
-bf16 over a batch sweep and reports the best images/sec/chip. Prints ONE
-JSON line: {"metric", "value", "unit", "vs_baseline"} where vs_baseline is
-relative to the driver's 500 img/s/chip north star (BASELINE.json).
+Other modes (one JSON line each, recorded in BENCH_SUITE.json):
+
+    python bench.py train    # BASELINE config #4: training-step throughput
+    python bench.py tiled    # BASELINE config #3: 1024^2 stride-128 tiled
+    python bench.py scaled   # BASELINE config #5: EMB 180 / WIN 16 / 512^2
+    python bench.py all      # headline + the above
+
+Timing method (all modes): host-side per-call timing lies through the
+remote-execution tunnel, so each bench runs N repetitions inside/behind one
+dispatch and differences two values of N — fixed host overheads cancel.
 """
 
 import json
@@ -12,33 +23,39 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NORTH_STAR = 500.0  # images/sec/chip (BASELINE.json)
 
 
-def main():
+def _emit(metric, value, unit, baseline=None):
+    line = {"metric": metric, "value": round(value, 2), "unit": unit,
+            "vs_baseline": round(value / baseline, 4) if baseline else None}
+    print(json.dumps(line))
+    return line
+
+
+def _build(cfg, backend, seed=0):
+    from flax import nnx
+
+    from sunet_tf_tpu.models.sunet import build_model
+
+    cfg = cfg.replace(tpu=cfg.tpu.__class__(compute_dtype="bfloat16",
+                                            attention_backend=backend))
+    model = build_model(cfg, seed=seed)
+    graphdef, params = nnx.split(model, nnx.Param)
+    return cfg, model, graphdef, params
+
+
+def _forward_chain(graphdef, params, x, n1=4, n2=16, reps=3):
+    """img/s via the fori_loop chain-difference method."""
+    from functools import partial
+
     import jax
     import jax.numpy as jnp
     from flax import nnx
-
-    from sunet_tf_tpu.config import Config
-    from sunet_tf_tpu.models.sunet import build_model
-
-    cfg = Config()
-    # bf16 compute + fused Pallas swin-block kernels (inference path)
-    cfg = cfg.replace(tpu=cfg.tpu.__class__(compute_dtype="bfloat16",
-                                            attention_backend="pallas"))
-    model = build_model(cfg, seed=0)
-    graphdef, params = nnx.split(model, nnx.Param)
-    gflop = model.flops() / 1e9
-
-    # Host-side per-call timing is unreliable through remote-execution
-    # tunnels (dispatch/readback RPCs dominate and block_until_ready can be
-    # lazy). Instead, run N chained forwards inside ONE jitted fori_loop
-    # and difference two values of N: the per-iteration device time is
-    # (t(N2) - t(N1)) / (N2 - N1), with every host overhead cancelled.
-    from functools import partial
 
     @partial(jax.jit, static_argnums=(2,))
     def chain(p, x, n_iters):
@@ -46,42 +63,183 @@ def main():
             y = nnx.merge(graphdef, p)(x)
             return x * 0.999 + 0.001 * jnp.mean(y)
 
-        # scalar return = forced tiny readback, no eager ops on the host
         return jnp.sum(jax.lax.fori_loop(0, n_iters, body, x))
 
-    def timed(p, x, n, reps=3):
+    def timed(n, reps):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(chain(p, x, n))
+            float(chain(params, x, n))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    n_dev = 1  # throughput is reported per chip; bench runs single-chip
-    n1, n2 = (int(v) for v in os.environ.get("BENCH_CHAIN", "4,16").split(","))
+    timed(n1, 1)
+    timed(n2, 1)
+    dt = (timed(n2, reps) - timed(n1, reps)) / (n2 - n1)
+    return x.shape[0] / dt if dt > 0 else 0.0, dt
+
+
+def numerics_gate(tol=5e-3):
+    """Fused-kernel vs XLA forward allclose ON HARDWARE (compiled Mosaic).
+    Hard-fails the bench if the paths diverge — kernel regressions on the
+    chip cannot hide behind the CPU-interpret test suite."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from sunet_tf_tpu.config import Config
+
+    x = jax.random.uniform(jax.random.key(1), (2, 256, 256, 3), jnp.float32)
+    outs = {}
+    for backend in ("pallas", "xla"):
+        cfg, model, graphdef, params = _build(Config(), backend)
+        fwd = jax.jit(lambda p, x: nnx.merge(graphdef, p)(x))
+        outs[backend] = np.asarray(fwd(params, x), dtype=np.float64)
+    diff = float(np.mean(np.abs(outs["pallas"] - outs["xla"])))
+    print(f"# numerics gate: pallas-vs-xla mean|diff| = {diff:.2e} "
+          f"(tol {tol})", file=sys.stderr)
+    if not np.isfinite(diff) or diff > tol:
+        print(json.dumps({"metric": "numerics_gate", "value": diff,
+                          "unit": "mean_abs_diff", "vs_baseline": None}))
+        sys.exit(1)
+
+
+def bench_headline():
+    import jax
+    import jax.numpy as jnp
+
+    from sunet_tf_tpu.config import Config
+
+    cfg, model, graphdef, params = _build(Config(), "pallas")
+    gflop = model.flops() / 1e9
     best = 0.0
-    best_batch = 0
-    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "16,32").split(",")]
-    for b in batches:
-        x = jax.random.uniform(jax.random.key(0), (b, 256, 256, 3),
-                               jnp.float32)
-        timed(params, x, n1, reps=1)  # compile both variants
-        timed(params, x, n2, reps=1)
-        dt = (timed(params, x, n2) - timed(params, x, n1)) / (n2 - n1)
-        if dt <= 0:
-            continue
-        ips = b / dt / n_dev
+    for b in (int(v) for v in os.environ.get("BENCH_BATCHES", "16,32").split(",")):
+        x = jax.random.uniform(jax.random.key(0), (b, 256, 256, 3), jnp.float32)
+        ips, dt = _forward_chain(graphdef, params, x)
         print(f"# batch {b}: {ips:.1f} img/s ({dt*1e3:.2f} ms/iter, "
               f"{ips * gflop / 1e3:.1f} TFLOP/s)", file=sys.stderr)
-        if ips > best:
-            best, best_batch = ips, b
+        best = max(best, ips)
+    return _emit("denoise_256_images_per_sec_per_chip", best, "img/s/chip",
+                 NORTH_STAR)
 
-    print(json.dumps({
-        "metric": "denoise_256_images_per_sec_per_chip",
-        "value": round(best, 2),
-        "unit": "img/s/chip",
-        "vs_baseline": round(best / NORTH_STAR, 4),
-    }))
+
+def bench_train(batch=None):
+    """BASELINE config #4: full denoise train step (on-device AWGN + aug,
+    Charbonnier, backward, Adam) — the reference hot loop train.py:320-344."""
+    import jax
+    import jax.numpy as jnp
+
+    from sunet_tf_tpu.config import Config
+    from sunet_tf_tpu.train.loop import build_steps, jit_steps, make_optimizer
+
+    batch = batch or int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+    results = {}
+    base = Config()
+    base = base.replace(swinunet=base.swinunet.__class__(
+        **{**base.swinunet.__dict__, "out_chans": 3}))
+    for backend in ("pallas", "xla"):
+        cfg, model, graphdef, params = _build(base, backend)
+        tx = make_optimizer(cfg, steps_per_epoch=100)
+        opt_state = tx.init(params)
+        fns = jit_steps(build_steps(cfg, graphdef, tx, task="denoise",
+                                    sigma=50.0), mesh=None, donate=True)
+        rngb = np.random.default_rng(0)
+        b = {"input": rngb.integers(0, 255, (batch, 256, 256, 3), dtype=np.uint8),
+             "target": rngb.integers(0, 255, (batch, 256, 256, 3), dtype=np.uint8)}
+        state = [params, opt_state, fns.init_metrics()]
+        rng = jax.random.key(0)
+
+        def run(k):
+            t0 = time.perf_counter()
+            for i in range(k):
+                state[0], state[1], scalars, state[2] = fns.train_step(
+                    state[0], state[1], b, rng, jnp.uint32(i), state[2])
+            float(scalars["loss"])
+            jax.block_until_ready(state[0])
+            return time.perf_counter() - t0
+
+        run(2)
+        t4 = run(4)
+        t12 = run(12)
+        dt = (t12 - t4) / 8
+        results[backend] = batch / dt
+        print(f"# train {backend} batch {batch}: {batch/dt:.1f} img/s "
+              f"({dt*1e3:.1f} ms/step)", file=sys.stderr)
+    line = _emit("train_256_images_per_sec_per_chip", results["pallas"],
+                 "img/s/chip", results["xla"])
+    line["xla_img_per_sec"] = round(results["xla"], 2)
+    return line
+
+
+def bench_tiled():
+    """BASELINE config #3: 1024^2 denoise via stride-128 overlap tiling
+    (reference demo_any_resolution.py:45-52,116-139 workload, batched)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from sunet_tf_tpu.config import Config
+    from sunet_tf_tpu.infer.tiled import tiled_inference
+
+    cfg, model, graphdef, params = _build(Config(), "pallas")
+    model_fn = lambda p, t: nnx.merge(graphdef, p)(t)
+    img = jax.random.uniform(jax.random.key(0), (1, 1024, 1024, 3), jnp.float32)
+
+    def run_n(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = tiled_inference(model_fn, img, params, kernel=256,
+                                  stride=128, tile_batch=32)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    run_n(1)
+    t2, t6 = run_n(2), run_n(6)
+    dt = (t6 - t2) / 4
+    ips = 1.0 / dt
+    print(f"# tiled 1024^2 stride 128: {dt*1e3:.1f} ms/img "
+          f"({ips:.2f} img/s, 49 tiles/img)", file=sys.stderr)
+    return _emit("tiled_1024_stride128_images_per_sec_per_chip", ips, "img/s/chip")
+
+
+def bench_scaled():
+    """BASELINE config #5: scaled SUNet (EMB_DIM 180, WIN 16, 512^2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sunet_tf_tpu.config import scaled_config
+
+    cfg, model, graphdef, params = _build(scaled_config(), "pallas")
+    gflop = model.flops() / 1e9
+    b = int(os.environ.get("BENCH_SCALED_BATCH", "8"))
+    x = jax.random.uniform(jax.random.key(0), (b, 512, 512, 3), jnp.float32)
+    ips, dt = _forward_chain(graphdef, params, x, n1=2, n2=8)
+    print(f"# scaled 512^2 batch {b}: {ips:.1f} img/s ({dt*1e3:.1f} ms/iter, "
+          f"{ips * gflop / 1e3:.1f} TFLOP/s)", file=sys.stderr)
+    return _emit("scaled_emb180_win16_512_images_per_sec_per_chip", ips,
+                 "img/s/chip")
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "headline"
+    if mode in ("headline", "all"):
+        numerics_gate()
+    if mode == "headline":
+        bench_headline()
+        return
+    lines = []
+    if mode in ("train", "all"):
+        lines.append(bench_train())
+    if mode in ("tiled", "all"):
+        lines.append(bench_tiled())
+    if mode in ("scaled", "all"):
+        lines.append(bench_scaled())
+    if mode == "all":
+        lines.insert(0, bench_headline())
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SUITE.json"), "w") as f:
+            json.dump(lines, f, indent=1)
 
 
 if __name__ == "__main__":

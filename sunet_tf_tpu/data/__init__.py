@@ -5,3 +5,4 @@ from sunet_tf_tpu.data.pipeline import (  # noqa: F401
     natural_sorted,
     Prefetcher,
 )
+from sunet_tf_tpu.data.synth import generate_dataset, synth_image  # noqa: F401

@@ -44,15 +44,32 @@ from jax.experimental.pallas import tpu as pltpu
 from sunet_tf_tpu.ops.window import window_partition, window_reverse
 
 
-def _compiler_params():
-    """Mosaic VMEM budget, overridable for chips with more VMEM headroom
-    (pairs with SUNET_VMEM_TOKENS strip sizing)."""
+def _compiler_params(block_bytes: int = 0):
+    """Mosaic VMEM window for a kernel.
+
+    Mosaic's default scoped window is 16MB, but v5e has 128MB physical VMEM
+    per core — kernels whose per-program blocks (weights + fp32 weight-grad
+    accumulators at C=768) exceed the default request a window sized to
+    their blocks plus 75% headroom for in-kernel temporaries and double
+    buffering, instead of falling back to XLA. SUNET_VMEM_LIMIT_KIB
+    overrides (smaller-VMEM targets or experiments).
+    """
     import os as _os
 
     kib = _os.environ.get("SUNET_VMEM_LIMIT_KIB")
-    if kib is None:
+    if kib is not None:
+        return pltpu.CompilerParams(vmem_limit_bytes=int(kib) * 1024)
+    need = int(block_bytes * 1.75)
+    if need <= 16 * 1024 * 1024:
         return None
-    return pltpu.CompilerParams(vmem_limit_bytes=int(kib) * 1024)
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(need, 120 * 1024 * 1024))
+
+
+def _tree_bytes(*arrays) -> int:
+    """Total bytes of the given arrays/ShapeDtypeStructs (block sizing)."""
+    return sum(int(np.prod(a.shape)) * jnp.dtype(a.dtype).itemsize
+               for a in arrays)
 
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
@@ -172,7 +189,10 @@ def wmsa_core(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(xw.shape, xw.dtype),
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(
+            2 * WT * N * C * xw.dtype.itemsize
+            + _tree_bytes(wqkv, bqkv2, wproj, bproj2, bias)
+            + int(np.prod(mask_block)) * 4),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * N * C * 4 * C + 4 * T * N * N * C,
             bytes_accessed=2 * T * N * C * xw.dtype.itemsize
@@ -428,7 +448,12 @@ def _ln_wmsa_bwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
             jax.ShapeDtypeStruct((h, N, N), jnp.float32),
         ],
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(
+            # x + dout + dx strips, bf16 weights, fp32 grad accumulators
+            3 * ws * W * C * x.dtype.itemsize
+            + (C * 3 * C + C * C) * x.dtype.itemsize
+            + (C * 3 * C + C * C + 2 * h * N * N) * 4
+            + int(np.prod(mask_block)) * 4),
     )(x, dout.astype(x.dtype), f32row(ln_scale, C), f32row(ln_bias, C),
       wqkv.astype(x.dtype), f32row(bqkv_arr, 3 * C), wproj.astype(x.dtype),
       jnp.asarray(bias, jnp.float32), mask_arr)
@@ -677,7 +702,8 @@ def fused_ln_mlp(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(
+            2 * Hs * W * C * y.dtype.itemsize + _tree_bytes(w1, w2)),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * W * C * hidden,
             bytes_accessed=2 * B * H * W * C * y.dtype.itemsize
@@ -793,7 +819,9 @@ def _ln_mlp_branch(y, ln_scale, ln_bias, w1, b1, w2, b2, interpret=None):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(
+            2 * Hs * W * C * y.dtype.itemsize
+            + 2 * C * hidden * y.dtype.itemsize),
     )(y, f32row(ln_scale, C), f32row(ln_bias, C), w1.astype(y.dtype),
       f32row(b1, hidden), w2.astype(y.dtype), f32row(b2, C))
 
@@ -848,7 +876,11 @@ def _ln_mlp_bwd(res, dout):
             jax.ShapeDtypeStruct((1, C), jnp.float32),
         ],
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(
+            # y + dout + dy strips, bf16 weights, fp32 dw1/dw2 accumulators
+            3 * Hs * W * C * y.dtype.itemsize
+            + 2 * C * hidden * y.dtype.itemsize
+            + 2 * C * hidden * 4),
     )(y, dout.astype(y.dtype), f32row(ln_scale, C), f32row(ln_bias, C),
       w1.astype(y.dtype), f32row(b1, hidden), w2.astype(y.dtype))
     dy, dg, db, dw1, db1, dw2, db2 = outs
@@ -954,7 +986,10 @@ def fused_swin_block(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(
+            2 * Hs * W * C * x.dtype.itemsize
+            + _tree_bytes(wqkv, wproj, w1, w2)
+            + (h * N * N + int(np.prod(mask_block))) * 4),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * C * (4 * C + 2 * hidden)
             + 4 * B * H * W * N * C,
@@ -1097,7 +1132,10 @@ def fused_ln_window_attention(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(
+            2 * ws * W * C * x.dtype.itemsize
+            + _tree_bytes(wqkv) + C * C * wproj.dtype.itemsize
+            + (h * N * N + int(np.prod(mask_block))) * 4),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * C * 4 * C + 4 * B * H * W * N * C,
             bytes_accessed=2 * B * H * W * C * x.dtype.itemsize,

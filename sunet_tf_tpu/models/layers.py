@@ -25,6 +25,7 @@ slope 0.25.
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Optional
 
 import jax
@@ -41,6 +42,20 @@ from sunet_tf_tpu.ops.window import (
     window_partition,
     window_reverse,
 )
+
+def _kernel_max_c(train: bool) -> int:
+    """Largest channel dim routed to the fused Pallas kernels.
+
+    The backward kernels carry fp32 weight-grad accumulators in VMEM
+    (C=768: ~19MB for the MLP pair alone), past Mosaic's default 16MB
+    scoped window — but v5e has 128MB physical VMEM, so the kernels ship
+    with a raised per-kernel vmem_limit instead of a hard fallback.
+    Overridable for smaller-VMEM targets via SUNET_TRAIN_KERNEL_MAX_C /
+    SUNET_INFER_KERNEL_MAX_C (0 disables the kernels entirely).
+    """
+    key = "SUNET_TRAIN_KERNEL_MAX_C" if train else "SUNET_INFER_KERNEL_MAX_C"
+    return int(os.environ.get(key, 384))
+
 
 # Linear/LN init used by the reference's _init_weights
 # (model/SUNet_detail.py:688-695): trunc normal std 0.02 (timm truncates at
@@ -196,6 +211,15 @@ class WindowAttention(nnx.Module):
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=jnp.float32)
         attn = attn + self.bias_matrix()[None]
+        # observability: pre-mask logit extrema (dead code unless a caller
+        # reads the Intermediates — used to validate the fused kernels'
+        # shifted-softmax exact band (-47, 80] on TRAINED weights; obs.py)
+        self.sow(nnx.Intermediate, "logit_max", jnp.max(attn),
+                 reduce_fn=jnp.maximum,
+                 init_fn=lambda: jnp.float32(-jnp.inf))
+        self.sow(nnx.Intermediate, "logit_min", jnp.min(attn),
+                 reduce_fn=jnp.minimum,
+                 init_fn=lambda: jnp.float32(jnp.inf))
         if mask is not None:
             nW = mask.shape[0]
             m = jnp.asarray(mask, dtype=attn.dtype)  # (nW, N, N)
@@ -315,7 +339,7 @@ class SwinBlock(nnx.Module):
         # yet), dropout-free, and VMEM-bounded (weights for C>384 exceed
         # the 16MB budget — those stages use the sublayer kernel instead).
         if (self.backend == "pallas" and key is None and not self.ablate
-                and self.dim <= 384):
+                and self.dim <= _kernel_max_c(train=False)):
             return self._fused_block(x, ss)
 
         use_pallas = self.backend == "pallas" and key is None
@@ -323,11 +347,10 @@ class SwinBlock(nnx.Module):
             shortcut = x
             if use_pallas:
                 x = self._attention_fused(x, ss)
-            elif self.backend == "pallas" and self._can_fuse and self.dim <= 384:
+            elif (self.backend == "pallas" and self._can_fuse
+                  and self.dim <= _kernel_max_c(train=True)):
                 # training: differentiable fused sublayer (Pallas fwd+bwd);
                 # stochastic depth still applies outside via drop_path.
-                # C>384 stays on XLA: fp32 weight-grad accumulators would
-                # exceed the 16MB VMEM budget.
                 from sunet_tf_tpu.kernels.window_attention import (
                     ln_window_attention_trainable,
                     static_mask,
@@ -358,7 +381,8 @@ class SwinBlock(nnx.Module):
                     self.mlp.fc1.bias[...],
                     self.mlp.fc2.kernel[...].astype(x.dtype),
                     self.mlp.fc2.bias[...])
-            elif self.backend == "pallas" and self._can_fuse and self.dim <= 384:
+            elif (self.backend == "pallas" and self._can_fuse
+                  and self.dim <= _kernel_max_c(train=True)):
                 from sunet_tf_tpu.kernels.window_attention import ln_mlp_trainable
 
                 y = ln_mlp_trainable(

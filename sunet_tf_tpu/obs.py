@@ -162,6 +162,40 @@ class MetricsLogger:
             self.writer.close()
 
 
+def attention_logit_stats(model, x) -> dict:
+    """Global extrema of pre-mask attention logits across all 56 W-MSA
+    blocks for input batch x, via the XLA attention path's sowed
+    Intermediates (models/layers.py WindowAttention).
+
+    Purpose: validate on TRAINED weights that logits sit inside the fused
+    kernels' shifted-softmax exact band (-47, 80] — the recipe's constant
+    QK_SCALE=8 (reference training.yaml:15) makes large trained logits
+    conceivable (Swin-V2's logit-explosion concern).
+    """
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    graphdef, params = nnx.split(model, nnx.Param)
+
+    @jax.jit
+    def run(params, x):
+        m = nnx.merge(graphdef, params)
+        m(x)
+        st = nnx.state(m, nnx.Intermediate)
+        maxs, mins = [], []
+        for path, v in nnx.to_flat_state(st):
+            val = getattr(v, "value", v)
+            if "logit_max" in path:
+                maxs.append(jnp.asarray(val))
+            elif "logit_min" in path:
+                mins.append(jnp.asarray(val))
+        return jnp.max(jnp.stack(maxs)), jnp.min(jnp.stack(mins))
+
+    hi, lo = run(params, x)
+    return {"logit_max": float(hi), "logit_min": float(lo)}
+
+
 class profile_trace:
     """Context manager around jax.profiler.trace -> XProf/TensorBoard
     (the TPU-native replacement for the reference's thop/flops-print

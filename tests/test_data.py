@@ -7,6 +7,7 @@ import pytest
 from PIL import Image
 
 from sunet_tf_tpu.data.patches import generate_patches
+from sunet_tf_tpu.data.synth import generate_dataset, synth_image
 from sunet_tf_tpu.data.pipeline import (
     PairDataset,
     Prefetcher,
@@ -103,3 +104,30 @@ def test_generate_patches_same_mode(tmp_path):
     a = np.asarray(Image.open(tmp_path / "out" / "input" / "0_1.png"))
     b = np.asarray(Image.open(tmp_path / "out" / "target" / "0_1.png"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_synth_dataset_properties(tmp_path):
+    """Deterministic procedural corpus: natural-image-like statistics and
+    exact AWGN pair semantics (sigma on the 0-255 scale)."""
+    rng = np.random.default_rng(3)
+    img = synth_image(rng, 128)
+    assert img.shape == (128, 128, 3) and img.dtype == np.uint8
+    a = img[:, :, 0].astype(np.float32) / 255.0
+    corr = np.corrcoef(a[:-1].ravel(), a[1:].ravel())[0, 1]
+    assert corr > 0.9, f"not natural-image-like (corr {corr})"
+    # determinism by seed
+    img2 = synth_image(np.random.default_rng(3), 128)
+    np.testing.assert_array_equal(img, img2)
+
+    generate_dataset(str(tmp_path / "same"), 2, 64, seed=0, pair_mode="same")
+    ds = PairDataset(str(tmp_path / "same"), 64, train=False)
+    i0, t0, _ = ds.get(0)
+    np.testing.assert_array_equal(i0, t0)
+
+    generate_dataset(str(tmp_path / "awgn"), 2, 64, seed=0,
+                     pair_mode="awgn", sigma=50.0)
+    ds = PairDataset(str(tmp_path / "awgn"), 64, train=False)
+    i0, t0, _ = ds.get(0)
+    resid = i0.astype(np.float32) - t0.astype(np.float32)
+    assert resid.std() > 25.0  # sigma 50 minus clipping
+    assert not np.array_equal(i0, t0)
