@@ -91,27 +91,48 @@ def center_crop_np(img: np.ndarray, ps: int) -> np.ndarray:
 
 class PairDataset:
     """Decoded-image pair dataset with train (random crop) / eval
-    (center crop) modes. Small datasets are cached in RAM after first epoch.
+    (center crop) modes.
+
+    Decoded pairs are kept in a bounded LRU cache (default 4 GiB,
+    SUNET_CACHE_BYTES overrides, cache=False disables): patch folders fit
+    entirely and skip re-decoding after the first epoch, while full-size
+    corpora (DIV2K-scale, reference config #4) evict instead of growing
+    RSS without bound (round-1 review weak #7).
     """
 
     def __init__(self, root: str, patch_size: int, train: bool = True,
-                 cache: bool = True, seed: int = 85):
+                 cache: bool = True, seed: int = 85,
+                 cache_bytes: Optional[int] = None):
+        import collections
+
         self.pairs = list_image_pairs(root)
         self.ps = patch_size
         self.train = train
         self.rng = np.random.default_rng(seed)
-        self._cache: dict = {} if cache else None
+        self._cache = collections.OrderedDict() if cache else None
+        if cache_bytes is None:
+            cache_bytes = int(os.environ.get("SUNET_CACHE_BYTES",
+                                             4 * 1024 ** 3))
+        self._cache_budget = cache_bytes
+        self._cache_bytes = 0
 
     def __len__(self):
         return len(self.pairs)
 
     def _load(self, i: int):
         if self._cache is not None and i in self._cache:
+            self._cache.move_to_end(i)
             return self._cache[i]
         ip, tp = self.pairs[i]
         inp, tar = load_image_u8(ip), load_image_u8(tp)
         if self._cache is not None:
-            self._cache[i] = (inp, tar)
+            nbytes = inp.nbytes + tar.nbytes
+            if nbytes <= self._cache_budget:
+                self._cache[i] = (inp, tar)
+                self._cache_bytes += nbytes
+                while self._cache_bytes > self._cache_budget:
+                    _, (a, b) = self._cache.popitem(last=False)
+                    self._cache_bytes -= a.nbytes + b.nbytes
         return inp, tar
 
     def get(self, i: int):

@@ -1004,6 +1004,334 @@ def fused_swin_block(
 
 
 # ---------------------------------------------------------------------------
+# Whole-block trainable kernel: ONE custom-VJP for the entire Swin block
+# (LN1 + W-MSA + residual + LN2 + MLP + residual, with per-sample
+# stochastic-depth scales). Forward = fused_swin_block; backward is a
+# single kernel that recomputes the block in VMEM (flash style — no
+# probabilities or intermediates ever touch HBM) and accumulates fp32
+# weight grads across the sequential TPU grid. vs the two sublayer
+# custom-VJPs: one x-save instead of two (y is recomputed), 3 activation
+# HBM crossings in backward instead of 6, half the kernel launches.
+# ---------------------------------------------------------------------------
+
+
+def _block_bwd_kernel(x_ref, dout_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
+                      wproj_ref, bproj_ref, g2_ref, b2_ref, w1_ref, bm1_ref,
+                      w2_ref, bm2_ref, bias_ref, mask_ref, dp_ref,
+                      dx_ref, dg1_ref, db1_ref, dwqkv_ref, dbqkv_ref,
+                      dwproj_ref, dbproj_ref, dg2_ref, db2_ref, dw1_ref,
+                      dbm1_ref, dw2_ref, dbm2_ref, dbias_ref, *, ws: int,
+                      num_heads: int, scale: float, has_mask: bool,
+                      eps: float = 1e-5):
+    _, Hs, W, C = x_ref.shape  # block (1, Hs, W, C), Hs a multiple of ws
+    hh, ww = Hs // ws, W // ws
+    nW = hh * ww
+    N = ws * ws
+    T = nW * N
+    h = num_heads
+    d = C // h
+    hidden = w1_ref.shape[1]
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        for r in (dg1_ref, db1_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
+                  dbproj_ref, dg2_ref, db2_ref, dw1_ref, dbm1_ref, dw2_ref,
+                  dbm2_ref, dbias_ref):
+            r[...] = jnp.zeros_like(r)
+
+    bb = pl.program_id(0)
+    s1 = dp_ref[bb, 0]
+    s2 = dp_ref[bb, 1]
+
+    def _to_windows(t):  # (Hs, W, C) -> (T, C), window-major row order
+        return (t.reshape(hh, ws, ww, ws, C).transpose(0, 2, 1, 3, 4)
+                .reshape(T, C))
+
+    def _from_windows(t):  # (T, C) -> (Hs, W, C)
+        return (t.reshape(hh, ww, ws, ws, C).transpose(0, 2, 1, 3, 4)
+                .reshape(Hs, W, C))
+
+    # ---- forward recompute: LN1 + W-MSA
+    x = x_ref[0]
+    xf = x.astype(jnp.float32)
+    mu1 = jnp.mean(xf, axis=-1, keepdims=True)
+    xc1 = xf - mu1
+    inv1 = jax.lax.rsqrt(jnp.mean(xc1 * xc1, axis=-1, keepdims=True) + eps)
+    xhat1 = xc1 * inv1
+    u = (xhat1 * g1_ref[0] + b1_ref[0]).astype(x.dtype)
+    uw = _to_windows(u)
+    qkv = (jnp.dot(uw, wqkv_ref[...], preferred_element_type=jnp.float32)
+           + bqkv_ref[0]).astype(x.dtype)
+    q = qkv[:, :C].reshape(nW, N, C)
+    k = qkv[:, C:2 * C].reshape(nW, N, C)
+    v = qkv[:, 2 * C:].reshape(nW, N, C)
+
+    ps = []
+    ctx_heads = []
+    for head in range(h):
+        sl = slice(head * d, (head + 1) * d)
+        qh = q[:, :, sl].astype(jnp.float32) * scale
+        kh = k[:, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s + bias_ref[head][None]
+        if has_mask:
+            s = s + mask_ref[...]
+        p = jax.nn.softmax(s, axis=-1)
+        ps.append(p)
+        ctx_heads.append(jax.lax.dot_general(
+            p.astype(x.dtype), v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+    ctx = jnp.concatenate(ctx_heads, axis=-1).astype(x.dtype).reshape(T, C)
+    attn = (jnp.dot(ctx, wproj_ref[...], preferred_element_type=jnp.float32)
+            + bproj_ref[0])
+    y = (xf + s1 * _from_windows(attn)).astype(x.dtype)
+
+    # ---- forward recompute: LN2 + MLP up to pre-gelu
+    yf = y.astype(jnp.float32)
+    mu2 = jnp.mean(yf, axis=-1, keepdims=True)
+    yc2 = yf - mu2
+    inv2 = jax.lax.rsqrt(jnp.mean(yc2 * yc2, axis=-1, keepdims=True) + eps)
+    yhat2 = yc2 * inv2
+    yn = (yhat2 * g2_ref[0] + b2_ref[0]).astype(x.dtype)
+    yn2 = yn.reshape(Hs * W, C)
+    a = (jnp.dot(yn2, w1_ref[...], preferred_element_type=jnp.float32)
+         + bm1_ref[0])
+    hgelu = _gelu_exact(a).astype(x.dtype)
+
+    # ---- backward: MLP sublayer
+    dout = dout_ref[0].astype(jnp.float32)
+    dm = (s2 * dout).reshape(Hs * W, C).astype(x.dtype)
+    dw2_ref[...] += jnp.dot(hgelu.T, dm, preferred_element_type=jnp.float32)
+    dbm2_ref[...] += jnp.sum(dm.astype(jnp.float32), axis=0, keepdims=True)
+    dh = jnp.dot(dm, w2_ref[...].T, preferred_element_type=jnp.float32)
+    da = dh * _gelu_grad(a)
+    dab = da.astype(x.dtype)
+    dw1_ref[...] += jnp.dot(yn2.T, dab, preferred_element_type=jnp.float32)
+    dbm1_ref[...] += jnp.sum(da, axis=0, keepdims=True)
+    dyn = jnp.dot(dab, w1_ref[...].T,
+                  preferred_element_type=jnp.float32).reshape(Hs, W, C)
+
+    dg2_ref[...] += jnp.sum((dyn * yhat2).reshape(Hs * W, C), axis=0,
+                            keepdims=True)
+    db2_ref[...] += jnp.sum(dyn.reshape(Hs * W, C), axis=0, keepdims=True)
+    dyhat2 = dyn * g2_ref[0]
+    m1 = jnp.mean(dyhat2, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyhat2 * yhat2, axis=-1, keepdims=True)
+    dy = dout + inv2 * (dyhat2 - m1 - yhat2 * m2)
+
+    # ---- backward: attention sublayer
+    dattnw = _to_windows((s1 * dy).astype(x.dtype))  # (T, C)
+    dwproj_ref[...] += jnp.dot(ctx.T, dattnw,
+                               preferred_element_type=jnp.float32)
+    dbproj_ref[...] += jnp.sum(dattnw.astype(jnp.float32), axis=0,
+                               keepdims=True)
+    dctx = jnp.dot(dattnw, wproj_ref[...].T,
+                   preferred_element_type=jnp.float32)
+    dctx = dctx.astype(x.dtype).reshape(nW, N, C)
+
+    dq_heads, dk_heads, dv_heads = [], [], []
+    for head in range(h):
+        sl = slice(head * d, (head + 1) * d)
+        p = ps[head]
+        pb = p.astype(x.dtype)
+        vh = v[:, :, sl]
+        dctx_h = dctx[:, :, sl]
+        dp = jax.lax.dot_general(dctx_h, vh, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(pb, dctx_h, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_ref[head] += jnp.sum(ds, axis=0)
+        dsb = ds.astype(x.dtype)
+        kh = k[:, :, sl]
+        qh = (q[:, :, sl].astype(jnp.float32) * scale).astype(x.dtype)
+        dq = jax.lax.dot_general(dsb, kh, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(dsb, qh, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dq_heads.append(dq)
+        dk_heads.append(dk)
+        dv_heads.append(dv)
+
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(dq_heads, axis=-1),
+         jnp.concatenate(dk_heads, axis=-1),
+         jnp.concatenate(dv_heads, axis=-1)], axis=-1).reshape(T, 3 * C)
+    dwqkv_ref[...] += jnp.dot(uw.T, dqkv.astype(x.dtype),
+                              preferred_element_type=jnp.float32)
+    dbqkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+    du = _from_windows(jnp.dot(dqkv.astype(x.dtype), wqkv_ref[...].T,
+                               preferred_element_type=jnp.float32))
+
+    dg1_ref[...] += jnp.sum((du * xhat1).reshape(Hs * W, C), axis=0,
+                            keepdims=True)
+    db1_ref[...] += jnp.sum(du.reshape(Hs * W, C), axis=0, keepdims=True)
+    dxhat1 = du * g1_ref[0]
+    m1 = jnp.mean(dxhat1, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat1 * xhat1, axis=-1, keepdims=True)
+    dx = dy + inv1 * (dxhat1 - m1 - xhat1 * m2)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _block_strips(H: int, W: int, C: int, ws: int) -> int:
+    """Row strips for the block kernels: window-row aligned, sized to the
+    SUNET_VMEM_TOKENS budget (same rule as fused_swin_block)."""
+    import os as _os
+
+    budget = int(_os.environ.get("SUNET_VMEM_TOKENS", 2048 * 96))
+    tokens_c = H * W * C
+    S = 1
+    while tokens_c // S > budget and (H // ws) % (S * 2) == 0:
+        S *= 2
+    return S
+
+
+def _block_bwd_impl(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
+                    w1, b1, w2, b2, bias, dp, mask, dout, ws, num_heads,
+                    scale, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, W, C = x.shape
+    N = ws * ws
+    h = num_heads
+    hidden = w1.shape[1]
+    S = _block_strips(H, W, C, ws)
+    Hs = H // S
+    nW = (Hs // ws) * (W // ws)
+    has_mask = mask is not None
+    if mask is None:
+        mask_arr = jnp.zeros((1, 1, 1), jnp.float32)
+        mask_block = (1, 1, 1)
+        mask_index = lambda bb, g: (0, 0, 0)
+    else:
+        mask_arr = jnp.asarray(mask, jnp.float32)  # (S*nW, N, N)
+        mask_block = (nW, N, N)
+        mask_index = lambda bb, g: (g, 0, 0)
+    bqkv_arr = jnp.zeros((3 * C,), jnp.float32) if bqkv is None else bqkv
+
+    kernel = functools.partial(_block_bwd_kernel, ws=ws, num_heads=h,
+                               scale=float(scale), has_mask=has_mask)
+    full = lambda *shape: pl.BlockSpec(shape, lambda bb, g: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    strip = lambda: pl.BlockSpec((1, Hs, W, C), lambda bb, g: (bb, g, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    f32row = lambda arr, n: arr.astype(jnp.float32).reshape(1, n)
+    cast = lambda arr: arr.astype(x.dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, S),
+        in_specs=[
+            strip(), strip(),
+            full(1, C), full(1, C),                 # ln1
+            full(C, 3 * C), full(1, 3 * C),         # qkv
+            full(C, C), full(1, C),                 # proj
+            full(1, C), full(1, C),                 # ln2
+            full(C, hidden), full(1, hidden),       # fc1
+            full(hidden, C), full(1, C),            # fc2
+            full(h, N, N),                          # rel-pos bias
+            pl.BlockSpec(mask_block, mask_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 2), lambda bb, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            strip(),
+            full(1, C), full(1, C),
+            full(C, 3 * C), full(1, 3 * C),
+            full(C, C), full(1, C),
+            full(1, C), full(1, C),
+            full(C, hidden), full(1, hidden),
+            full(hidden, C), full(1, C),
+            full(h, N, N),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((h, N, N), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(
+            # x/dout/dx strips + bf16 weights + fp32 grad accumulators
+            3 * Hs * W * C * x.dtype.itemsize
+            + (4 * C * C + 2 * C * hidden) * x.dtype.itemsize
+            + (4 * C * C + 2 * C * hidden + 2 * h * N * N) * 4
+            + int(np.prod(mask_block)) * 4),
+    )(x, dout.astype(x.dtype), f32row(ln1_s, C), f32row(ln1_b, C),
+      cast(wqkv), f32row(bqkv_arr, 3 * C), cast(wproj), f32row(bproj, C),
+      f32row(ln2_s, C), f32row(ln2_b, C), cast(w1), f32row(b1, hidden),
+      cast(w2), f32row(b2, C), jnp.asarray(bias, jnp.float32), mask_arr,
+      dp.astype(jnp.float32))
+    (dx, dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dg2, db2, dw1, dbm1, dw2,
+     dbm2, dbias) = outs
+    return (dx,
+            dg1.reshape(ln1_s.shape).astype(ln1_s.dtype),
+            db1.reshape(ln1_b.shape).astype(ln1_b.dtype),
+            dwqkv.astype(wqkv.dtype),
+            None if bqkv is None else dbqkv.reshape(bqkv.shape).astype(bqkv.dtype),
+            dwproj.astype(wproj.dtype),
+            dbproj.reshape(bproj.shape).astype(bproj.dtype),
+            dg2.reshape(ln2_s.shape).astype(ln2_s.dtype),
+            db2.reshape(ln2_b.shape).astype(ln2_b.dtype),
+            dw1.astype(w1.dtype),
+            dbm1.reshape(b1.shape).astype(b1.dtype),
+            dw2.astype(w2.dtype),
+            dbm2.reshape(b2.shape).astype(b2.dtype),
+            dbias.astype(bias.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18))
+def swin_block_trainable(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s,
+                         ln2_b, w1, b1, w2, b2, bias, dp, mask_static, ws,
+                         num_heads, scale):
+    """Differentiable whole Swin block (Pallas fwd AND bwd) over a rolled
+    NHWC map. dp: (B, 2) per-sample stochastic-depth scales for the two
+    residual branches (ones when inactive); its cotangent is zero."""
+    mask = None if mask_static is None else jnp.asarray(
+        mask_static.arr, jnp.float32)
+    return fused_swin_block(
+        x, (ln1_s, ln1_b), wqkv.astype(x.dtype), bqkv, wproj.astype(x.dtype),
+        bproj, (ln2_s, ln2_b), w1.astype(x.dtype), b1, w2.astype(x.dtype),
+        b2, bias, mask, drop_path_scale=dp, ws=ws, num_heads=num_heads,
+        scale=scale)
+
+
+def _block_fwd(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b, w1,
+               b1, w2, b2, bias, dp, mask_static, ws, num_heads, scale):
+    out = swin_block_trainable(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+                               ln2_s, ln2_b, w1, b1, w2, b2, bias, dp,
+                               mask_static, ws, num_heads, scale)
+    return out, (x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
+                 w1, b1, w2, b2, bias, dp)
+
+
+def _block_bwd(mask_static, ws, num_heads, scale, res, dout):
+    (x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b, w1, b1, w2,
+     b2, bias, dp) = res
+    mask = None if mask_static is None else jnp.asarray(
+        mask_static.arr, jnp.float32)
+    grads = _block_bwd_impl(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+                            ln2_s, ln2_b, w1, b1, w2, b2, bias, dp, mask,
+                            dout, ws, num_heads, scale)
+    return grads + (jnp.zeros_like(dp),)
+
+
+swin_block_trainable.defvjp(_block_fwd, _block_bwd)
+
+
+# ---------------------------------------------------------------------------
 # v2: row-strip kernel — LayerNorm + partition + W-MSA + reverse + proj,
 # one HBM read and one write for the whole sublayer.
 # ---------------------------------------------------------------------------

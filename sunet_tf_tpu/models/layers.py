@@ -43,6 +43,15 @@ from sunet_tf_tpu.ops.window import (
     window_reverse,
 )
 
+class _LogitStatsFlag:
+    """Process-wide opt-in for attention-logit sowing (obs.py context)."""
+
+    enabled = False
+
+
+_LOGIT_STATS = _LogitStatsFlag()
+
+
 def _kernel_max_c(train: bool) -> int:
     """Largest channel dim routed to the fused Pallas kernels.
 
@@ -211,15 +220,18 @@ class WindowAttention(nnx.Module):
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=jnp.float32)
         attn = attn + self.bias_matrix()[None]
-        # observability: pre-mask logit extrema (dead code unless a caller
-        # reads the Intermediates — used to validate the fused kernels'
-        # shifted-softmax exact band (-47, 80] on TRAINED weights; obs.py)
-        self.sow(nnx.Intermediate, "logit_max", jnp.max(attn),
-                 reduce_fn=jnp.maximum,
-                 init_fn=lambda: jnp.float32(-jnp.inf))
-        self.sow(nnx.Intermediate, "logit_min", jnp.min(attn),
-                 reduce_fn=jnp.minimum,
-                 init_fn=lambda: jnp.float32(jnp.inf))
+        # observability (opt-in via collect_logit_stats): pre-mask logit
+        # extrema — used to validate the fused kernels' shifted-softmax
+        # exact band (-47, 80] on TRAINED weights; see obs.py. Opt-in
+        # because sowed Intermediates persist on the module and poison
+        # later traces (Intermediate mutation across trace levels).
+        if _LOGIT_STATS.enabled:
+            self.sow(nnx.Intermediate, "logit_max", jnp.max(attn),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.float32(-jnp.inf))
+            self.sow(nnx.Intermediate, "logit_min", jnp.min(attn),
+                     reduce_fn=jnp.minimum,
+                     init_fn=lambda: jnp.float32(jnp.inf))
         if mask is not None:
             nW = mask.shape[0]
             m = jnp.asarray(mask, dtype=attn.dtype)  # (nW, N, N)
@@ -328,6 +340,38 @@ class SwinBlock(nnx.Module):
             ws=ws, num_heads=a.num_heads, scale=a.scale)
         return roll2d(out, ss)
 
+    def _trainable_block(self, x: jnp.ndarray, ss: int, kd1, kd2) -> jnp.ndarray:
+        """Whole-block custom-VJP kernel (Pallas fwd AND bwd) with
+        per-sample stochastic-depth scales sampled here."""
+        from sunet_tf_tpu.kernels.window_attention import (
+            static_mask,
+            swin_block_trainable,
+        )
+
+        B, H, W, C = x.shape
+        rate = self.drop_path_rate
+        if rate > 0.0 and kd1 is not None:
+            keep = 1.0 - rate
+            s1 = jax.random.bernoulli(kd1, keep, (B,)).astype(jnp.float32) / keep
+            s2 = jax.random.bernoulli(kd2, keep, (B,)).astype(jnp.float32) / keep
+            dp = jnp.stack([s1, s2], axis=1)
+        else:
+            dp = jnp.ones((B, 2), jnp.float32)
+        a = self.attn
+        xr = roll2d(x, -ss)
+        out = swin_block_trainable(
+            xr, self.norm1.scale[...], self.norm1.bias[...],
+            a.qkv.kernel[...],
+            None if a.qkv.bias is None else a.qkv.bias[...],
+            a.proj.kernel[...], a.proj.bias[...],
+            self.norm2.scale[...], self.norm2.bias[...],
+            self.mlp.fc1.kernel[...], self.mlp.fc1.bias[...],
+            self.mlp.fc2.kernel[...], self.mlp.fc2.bias[...],
+            a.bias_matrix(), dp,
+            static_mask(H, W, self.window_size, ss),
+            self.window_size, a.num_heads, a.scale)
+        return roll2d(out, ss)
+
     def __call__(self, x: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
         B, H, W, C = x.shape
         ws, ss = self.window_size, self.shift_size
@@ -335,12 +379,18 @@ class SwinBlock(nnx.Module):
             f"resolution ({H},{W}) not divisible by window {ws}")
         ka, km, kd1, kd2 = (None,) * 4 if key is None else tuple(jax.random.split(key, 4))
 
-        # Whole-block Pallas kernel: inference only (no backward kernels
-        # yet), dropout-free, and VMEM-bounded (weights for C>384 exceed
-        # the 16MB budget — those stages use the sublayer kernel instead).
+        # Whole-block Pallas kernel, inference path (dropout-free).
         if (self.backend == "pallas" and key is None and not self.ablate
                 and self.dim <= _kernel_max_c(train=False)):
             return self._fused_block(x, ss)
+
+        # Whole-block Pallas custom-VJP, training path: one fwd + one bwd
+        # kernel per block instead of two sublayer pairs (half the launches,
+        # 3 activation HBM crossings in backward instead of 6).
+        if (self.backend == "pallas" and self._can_fuse and key is not None
+                and not self.ablate and self.dim <= _kernel_max_c(train=True)
+                and os.environ.get("SUNET_TRAIN_BLOCK_KERNEL", "1") != "0"):
+            return self._trainable_block(x, ss, kd1, kd2)
 
         use_pallas = self.backend == "pallas" and key is None
         if "attn" not in self.ablate:

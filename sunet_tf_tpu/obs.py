@@ -176,6 +176,8 @@ def attention_logit_stats(model, x) -> dict:
     import jax.numpy as jnp
     from flax import nnx
 
+    from sunet_tf_tpu.models.layers import _LOGIT_STATS
+
     graphdef, params = nnx.split(model, nnx.Param)
 
     @jax.jit
@@ -192,7 +194,11 @@ def attention_logit_stats(model, x) -> dict:
                 mins.append(jnp.asarray(val))
         return jnp.max(jnp.stack(maxs)), jnp.min(jnp.stack(mins))
 
-    hi, lo = run(params, x)
+    _LOGIT_STATS.enabled = True
+    try:
+        hi, lo = run(params, x)
+    finally:
+        _LOGIT_STATS.enabled = False
     return {"logit_max": float(hi), "logit_min": float(lo)}
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -39,6 +40,111 @@ def halo_exchange_rows(x: jnp.ndarray, axis_name: str, halo: int) -> jnp.ndarray
     from_above = jnp.where(idx == 0, x[:halo], from_above)
     from_below = jnp.where(idx == n - 1, x[-halo:], from_below)
     return jnp.concatenate([from_above, x, from_below], axis=0)
+
+
+def spatial_roll_h(x: jnp.ndarray, shift: int, axis_name: str) -> jnp.ndarray:
+    """Inside shard_map: GLOBAL cyclic roll of (B, localH, W, C) along H,
+    sharded over `axis_name`, via one ppermute of |shift| boundary rows.
+
+    This is the entire communication cost of a shifted-window step under
+    spatial sharding: the SW-MSA roll is +-shift_size rows (4 tokens for
+    the default recipe), everything else in the block is row-local.
+    """
+    if shift == 0:
+        return x
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        return jnp.roll(x, shift, axis=1)
+    if shift < 0:  # roll up: my output = my rows [s:] + next shard's top s
+        s = -shift
+        edge = x[:, :s]
+        recv = jax.lax.ppermute(
+            edge, axis_name, [(i, (i - 1) % n) for i in range(n)])
+        return jnp.concatenate([x[:, s:], recv], axis=1)
+    s = shift  # roll down: my output = prev shard's bottom s + my rows [:-s]
+    edge = x[:, -s:]
+    recv = jax.lax.ppermute(
+        edge, axis_name, [(i, (i + 1) % n) for i in range(n)])
+    return jnp.concatenate([recv, x[:, :-s]], axis=1)
+
+
+def run_swin_blocks_spatial(mesh: Mesh, blocks, x: jnp.ndarray) -> jnp.ndarray:
+    """Run a stage's SwinBlocks over (B, H, W, C) with H sharded over the
+    'spatial' mesh axis — the model actually executing spatially sharded
+    (SURVEY §2's TPU-native SP equivalent), not just a demo primitive.
+
+    Per shifted block: W-roll is shard-local, the H-roll is ONE ppermute of
+    shift_size rows (spatial_roll_h), window partition/attention/MLP are
+    local (local_H is a window multiple), and each shard applies its slice
+    of the global SW-MSA mask (window-row offset = axis_index * local rows
+    of windows). Inference path (no dropout), XLA attention math.
+
+    Requires: H % (n_spatial * ws) == 0 and shift_size <= local_H.
+    Verified against the unsharded blocks in tests/test_spatial.py.
+    """
+    from flax import nnx
+
+    from sunet_tf_tpu.ops.window import (
+        shift_attn_mask,
+        window_partition,
+        window_reverse,
+    )
+
+    B, H, W, C = x.shape
+    n_sp = mesh.shape["spatial"]
+    infos = []
+    states = []
+    for blk in blocks:
+        ws, ss = blk.window_size, blk.shift_size
+        assert H % (n_sp * ws) == 0, (
+            f"H={H} not divisible into {n_sp} shards of window {ws} rows")
+        assert ss <= H // n_sp, "shift exceeds a local shard"
+        # tolerate non-Param state (e.g. sowed Intermediates from an
+        # earlier call) — closed over, tiny scalars
+        gd, st, rest = nnx.split(blk, nnx.Param, ...)
+        mask = (np.asarray(shift_attn_mask(H, W, ws, ss), np.float32)
+                if ss > 0 else None)
+        infos.append((gd, rest, ws, ss, mask))
+        states.append(st)
+
+    def local_block(blk, xl, ws, ss, mask_global):
+        Lh = xl.shape[1]
+        shortcut = xl
+        xn = blk.norm1(xl).astype(xl.dtype)
+        if ss > 0:
+            xn = jnp.roll(xn, -ss, axis=2)
+            xn = spatial_roll_h(xn, -ss, "spatial")
+        mask = None
+        if mask_global is not None:
+            nW_local = (Lh // ws) * (W // ws)
+            row0 = jax.lax.axis_index("spatial") * nW_local
+            mask = jax.lax.dynamic_slice(
+                jnp.asarray(mask_global), (row0, 0, 0),
+                (nW_local,) + mask_global.shape[1:])
+        xw = window_partition(xn, ws)
+        xw = blk.attn(xw, mask)
+        xn = window_reverse(xw, ws, Lh, W)
+        if ss > 0:
+            xn = jnp.roll(xn, ss, axis=2)
+            xn = spatial_roll_h(xn, ss, "spatial")
+        xl = shortcut + xn
+        y = blk.mlp(blk.norm2(xl).astype(xl.dtype))
+        return xl + y
+
+    def local_fn(xl, *sts):
+        for (gd, rest, ws, ss, mask), st in zip(infos, sts):
+            blk = nnx.merge(gd, st, rest)
+            xl = local_block(blk, xl, ws, ss, mask)
+        return xl
+
+    from jax import shard_map
+
+    spec = P(None, "spatial", None, None)
+    return shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(spec,) + tuple(P() for _ in states),
+        out_specs=spec,
+    )(x, *states)
 
 
 def spatial_conv3x3(mesh: Mesh, kernel: jnp.ndarray, bias=None):

@@ -1,13 +1,15 @@
-"""Gradient parity: Pallas fwd+bwd attention sublayer vs the XLA path.
+"""Gradient parity: Pallas fwd+bwd kernels vs the XLA path.
 
-The custom-VJP backward kernel recomputes the forward in VMEM and
-accumulates weight grads across the grid; its gradients must match XLA
-autodiff of the same math.
+Two trainable routes, both covered: the whole-block custom-VJP (default,
+SUNET_TRAIN_BLOCK_KERNEL=1) and the two sublayer custom-VJPs (fallback).
+The backward kernels recompute the forward in VMEM and accumulate weight
+grads across the grid; gradients must match XLA autodiff of the same math.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from flax import nnx
 
 from sunet_tf_tpu.models.layers import SwinBlock
@@ -31,9 +33,13 @@ def _grads(backend, shift):
     return g_params, g_x
 
 
-def test_grad_parity_unshifted():
-    (gp1, gx1) = _grads("xla", 0)
-    (gp2, gx2) = _grads("pallas", 0)
+@pytest.mark.parametrize("block_kernel", ["1", "0"],
+                         ids=["whole-block", "sublayer"])
+@pytest.mark.parametrize("shift", [0, 2], ids=["unshifted", "shifted"])
+def test_grad_parity(monkeypatch, block_kernel, shift):
+    monkeypatch.setenv("SUNET_TRAIN_BLOCK_KERNEL", block_kernel)
+    (gp1, gx1) = _grads("xla", shift)
+    (gp2, gx2) = _grads("pallas", shift)
     np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
                                rtol=1e-4, atol=1e-5)
     for a, b in zip(jax.tree.leaves(gp1), jax.tree.leaves(gp2)):
@@ -41,14 +47,17 @@ def test_grad_parity_unshifted():
                                    rtol=1e-4, atol=1e-5)
 
 
-def test_grad_parity_shifted():
-    (gp1, gx1) = _grads("xla", 2)
-    (gp2, gx2) = _grads("pallas", 2)
-    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
-                               rtol=1e-4, atol=1e-5)
-    for a, b in zip(jax.tree.leaves(gp1), jax.tree.leaves(gp2)):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=1e-4, atol=1e-5)
+def test_trainable_block_drop_path_scales():
+    """rate>0: the whole-block path's per-sample scales actually gate the
+    residual branches (identity for dropped samples up to both-branch drop)."""
+    blk = SwinBlock(16, (16, 16), 2, window_size=4, shift_size=0,
+                    qk_scale=8.0, drop_path_rate=0.999999,
+                    backend="pallas", rngs=nnx.Rngs(4))
+    x = jax.random.normal(jax.random.key(9), (2, 16, 16, 16), jnp.float32)
+    y = blk(x, key=jax.random.key(0))
+    # with rate ~1 both branches are dropped for every sample -> identity
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_training_step_with_pallas_backend():

@@ -32,3 +32,33 @@ def test_spatial_conv_matches_unsharded():
         out = jax.jit(conv)(x, k, b)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_swin_blocks_spatially_sharded_match_unsharded():
+    """The real model math runs spatially sharded: a pair of SwinBlocks
+    (unshifted + shifted) over H sharded 4-ways, with the SW-MSA roll done
+    as a ppermute halo, must reproduce the unsharded forward exactly."""
+    from flax import nnx
+
+    from sunet_tf_tpu.models.layers import SwinBlock
+    from sunet_tf_tpu.parallel.spatial import run_swin_blocks_spatial
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = make_mesh(data=1, spatial=4, devices=jax.devices()[:4])
+    blocks = [
+        SwinBlock(16, (32, 32), 2, window_size=4, shift_size=0,
+                  qk_scale=8.0, drop_path_rate=0.0, rngs=nnx.Rngs(7)),
+        SwinBlock(16, (32, 32), 2, window_size=4, shift_size=2,
+                  qk_scale=8.0, drop_path_rate=0.0, rngs=nnx.Rngs(8)),
+    ]
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 32, 32, 16)), jnp.float32)
+
+    ref = x
+    for blk in blocks:
+        ref = blk(ref)
+
+    out = jax.jit(lambda x: run_swin_blocks_spatial(mesh, blocks, x))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
