@@ -453,7 +453,10 @@ def _ln_wmsa_bwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
             3 * ws * W * C * x.dtype.itemsize
             + (C * 3 * C + C * C) * x.dtype.itemsize
             + (C * 3 * C + C * C + 2 * h * N * N) * 4
-            + int(np.prod(mask_block)) * 4),
+            + int(np.prod(mask_block)) * 4
+            # temporaries: qkv/dqkv + fp32 row chains + per-head scores
+            + ws * W * (3 * C * (x.dtype.itemsize + 4) + 8 * C * 4)
+            + 4 * (W // ws) * N * N * 4),
     )(x, dout.astype(x.dtype), f32row(ln_scale, C), f32row(ln_bias, C),
       wqkv.astype(x.dtype), f32row(bqkv_arr, 3 * C), wproj.astype(x.dtype),
       jnp.asarray(bias, jnp.float32), mask_arr)
@@ -880,7 +883,10 @@ def _ln_mlp_bwd(res, dout):
             # y + dout + dy strips, bf16 weights, fp32 dw1/dw2 accumulators
             3 * Hs * W * C * y.dtype.itemsize
             + 2 * C * hidden * y.dtype.itemsize
-            + 2 * C * hidden * 4),
+            + 2 * C * hidden * 4
+            # temporaries: fp32 a/da/dh + bf16 gelu + fp32 row chains
+            + Hs * W * (3 * hidden * 4 + hidden * y.dtype.itemsize
+                        + 6 * C * 4)),
     )(y, dout.astype(y.dtype), f32row(ln_scale, C), f32row(ln_bias, C),
       w1.astype(y.dtype), f32row(b1, hidden), w2.astype(y.dtype))
     dy, dg, db, dw1, db1, dw2, db2 = outs
@@ -1268,7 +1274,14 @@ def _block_bwd_impl(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
             3 * Hs * W * C * x.dtype.itemsize
             + (4 * C * C + 2 * C * hidden) * x.dtype.itemsize
             + (4 * C * C + 2 * C * hidden + 2 * h * N * N) * 4
-            + int(np.prod(mask_block)) * 4),
+            + int(np.prod(mask_block)) * 4
+            # in-kernel temporaries (measured to dominate at stage 0):
+            # qkv/dqkv, per-head probabilities kept across the two head
+            # loops, fp32 MLP pre-activations, fp32 row-temp chains
+            + Hs * W * (3 * C * (x.dtype.itemsize + 4)
+                        + 3 * hidden * 4 + hidden * x.dtype.itemsize
+                        + 8 * C * 4)
+            + h * nW * N * N * 4),
     )(x, dout.astype(x.dtype), f32row(ln1_s, C), f32row(ln1_b, C),
       cast(wqkv), f32row(bqkv_arr, 3 * C), cast(wproj), f32row(bproj, C),
       f32row(ln2_s, C), f32row(ln2_b, C), cast(w1), f32row(b1, hidden),

@@ -52,12 +52,23 @@ def test_sunet_tiled_close_to_monolithic(tiny_model):
 
     mono_fwd = jax.jit(model_fn)
     img = jax.random.uniform(jax.random.key(4), (1, 128, 128, 3))
-    mono = mono_fwd(st, img)
-    tiled = tiled_inference(model_fn, img, st, kernel=64, stride=32, tile_batch=4)
+    mono = np.asarray(mono_fwd(st, img))
+    tiled = np.asarray(tiled_inference(model_fn, img, st, kernel=64,
+                                       stride=32, tile_batch=4))
     assert tiled.shape == mono.shape
-    assert np.isfinite(np.asarray(tiled)).all()
-    # centers of agreement: global stats should be close
-    assert abs(float(jnp.mean(tiled)) - float(jnp.mean(mono))) < 0.05
+    assert np.isfinite(tiled).all()
+    # The UNet's receptive field spans a whole tile, so tiled != monolithic
+    # at EVERY pixel (same as the reference's fold-average path) — the
+    # meaningful contract is per-pixel closeness relative to the signal,
+    # not just global means (round-1 review weak #8). Measured on this
+    # model: mean|diff|/std ~ 0.07, corr ~ 0.987.
+    diff = np.abs(tiled - mono)
+    sig = mono.std()
+    assert diff.mean() < 0.15 * sig, (
+        f"mean|diff| {diff.mean():.4f} vs signal std {sig:.4f}")
+    assert np.percentile(diff, 95) < 0.6 * sig
+    corr = np.corrcoef(tiled.ravel(), mono.ravel())[0, 1]
+    assert corr > 0.97, f"tiled/mono correlation {corr}"
 
 
 def test_padded_inference_crops_back(tiny_model):
