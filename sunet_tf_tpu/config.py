@@ -111,6 +111,11 @@ class TPUConfig:
     data_parallel: int = 0
     # Donate + overlap input pipeline.
     donate: bool = True
+    # >0 selects the grain multiprocess input pipeline with that many
+    # decode workers for training (data/grain_pipeline.py); 0 keeps the
+    # default thread-prefetch pipeline (reference ran num_workers=0,
+    # train.py:156 — defect #9).
+    data_workers: int = 0
 
 
 @dataclass(frozen=True)
@@ -188,6 +193,7 @@ def config_from_dict(raw: dict) -> Config:
         attention_backend=str(_get(tp, "ATTENTION_BACKEND", "auto")),
         data_parallel=int(_get(tp, "DATA_PARALLEL", 0)),
         donate=bool(_get(tp, "DONATE", True)),
+        data_workers=int(_get(tp, "DATA_WORKERS", 0)),
     )
     model = raw.get("MODEL", {}) or {}
     return Config(
@@ -256,6 +262,7 @@ def config_to_dict(cfg: Config) -> dict:
             "ATTENTION_BACKEND": cfg.tpu.attention_backend,
             "DATA_PARALLEL": cfg.tpu.data_parallel,
             "DONATE": cfg.tpu.donate,
+            "DATA_WORKERS": cfg.tpu.data_workers,
         },
     }
 

@@ -127,6 +127,26 @@ class Trainer:
     def _put(self, batch):
         return shard_batch(self.mesh, batch)
 
+    def _train_iterator(self, epoch: int):
+        """Per-epoch training batches. TPU.DATA_WORKERS > 0 selects the
+        grain multiprocess decode pipeline (data/grain_pipeline.py);
+        default is the in-process thread-prefetch path."""
+        drop_last = len(self.train_ds) > self.cfg.optim.batch
+        if self.cfg.tpu.data_workers > 0 and drop_last:
+            from sunet_tf_tpu.data.grain_pipeline import (grain_available,
+                                                          grain_batch_iterator)
+
+            if grain_available():
+                return grain_batch_iterator(
+                    self.cfg.training.train_dir, self.cfg.training.train_ps,
+                    self.cfg.optim.batch, train=True, shuffle=True,
+                    drop_last=True, seed=self.cfg.training.seed + epoch,
+                    workers=self.cfg.tpu.data_workers)
+        return batch_iterator(self.train_ds, self.cfg.optim.batch,
+                              shuffle=True, drop_last=drop_last,
+                              seed=self.cfg.training.seed + epoch,
+                              pad_to=self.mesh.shape.get("data", 1))
+
     # ------------------------------------------------------------------
 
     def train_epoch(self, epoch: int) -> dict:
@@ -134,10 +154,7 @@ class Trainer:
         # drop_last=True keeps one compiled shape under donation/sharding
         # (the reference kept partial batches, train.py:156 — negligible for
         # patch datasets; deliberate deviation).
-        it = batch_iterator(self.train_ds, self.cfg.optim.batch, shuffle=True,
-                            drop_last=len(self.train_ds) > self.cfg.optim.batch,
-                            seed=self.cfg.training.seed + epoch,
-                            pad_to=self.mesh.shape.get("data", 1))
+        it = self._train_iterator(epoch)
         scalars_acc: dict = {}
         nsteps = 0
         base_step = (epoch - 1) * self.steps_per_epoch

@@ -150,3 +150,34 @@ def test_pair_dataset_lru_cache_bounded(tmp_path):
     ds.get(2)  # touch 2 -> 3 becomes LRU
     ds.get(0)
     assert set(ds._cache) == {2, 0}
+
+
+def test_grain_pipeline_matches_contract(tmp_path):
+    """The optional grain multiprocess pipeline yields the same batch
+    contract as batch_iterator (shapes/dtypes/valid), is deterministic
+    given a seed, and center-crops in eval mode."""
+    pytest.importorskip("grain")
+    from sunet_tf_tpu.data.grain_pipeline import grain_batch_iterator
+
+    _write(str(tmp_path), "input", [f"g_{k}.png" for k in range(5)],
+           size=(20, 24))
+    _write(str(tmp_path), "target", [f"g_{k}.png" for k in range(5)],
+           size=(20, 24))
+    kw = dict(patch_size=16, batch=2, train=True, shuffle=True,
+              drop_last=True, seed=7, workers=0)
+    b1 = list(grain_batch_iterator(str(tmp_path), **kw))
+    assert len(b1) == 2  # 5 records, batch 2, drop_remainder
+    assert b1[0]["input"].shape == (2, 16, 16, 3)
+    assert b1[0]["input"].dtype == np.uint8
+    assert b1[0]["valid"].tolist() == [1.0, 1.0]
+    b2 = list(grain_batch_iterator(str(tmp_path), **kw))
+    np.testing.assert_array_equal(b1[0]["input"], b2[0]["input"])
+    b3 = list(grain_batch_iterator(str(tmp_path), **{**kw, "seed": 8}))
+    assert not np.array_equal(b1[0]["input"], b3[0]["input"])
+
+    ev = list(grain_batch_iterator(str(tmp_path), patch_size=16, batch=5,
+                                   train=False, shuffle=False,
+                                   drop_last=False, seed=0, workers=0))
+    ds = PairDataset(str(tmp_path), 16, train=False)
+    ref = np.stack([ds.get(i)[0] for i in range(5)])
+    np.testing.assert_array_equal(ev[0]["input"], ref)
