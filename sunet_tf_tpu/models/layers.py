@@ -59,11 +59,16 @@ def _kernel_max_c(train: bool) -> int:
     (C=768: ~19MB for the MLP pair alone), past Mosaic's default 16MB
     scoped window — but v5e has 128MB physical VMEM, so the kernels ship
     with a raised per-kernel vmem_limit instead of a hard fallback.
+    Training default is 768 (covers every stage of the default model):
+    measured on v5e @256² batch 16, whole-block kernels at all stages run
+    156 img/s vs 88 with the C≤384 cap (XLA: 74). The scaled EMB-180
+    config's C=1440 stage exceeds even the raised window and falls back.
     Overridable for smaller-VMEM targets via SUNET_TRAIN_KERNEL_MAX_C /
     SUNET_INFER_KERNEL_MAX_C (0 disables the kernels entirely).
     """
-    key = "SUNET_TRAIN_KERNEL_MAX_C" if train else "SUNET_INFER_KERNEL_MAX_C"
-    return int(os.environ.get(key, 384))
+    if train:
+        return int(os.environ.get("SUNET_TRAIN_KERNEL_MAX_C", 768))
+    return int(os.environ.get("SUNET_INFER_KERNEL_MAX_C", 384))
 
 
 # Linear/LN init used by the reference's _init_weights
