@@ -161,3 +161,46 @@ def test_best_state_persists_in_latest_checkpoint(tmp_path):
     out = restore_checkpoint(os.path.join(str(tmp_path), "latest"), params)
     assert out["meta"]["best"]["auroc"]["value"] == pytest.approx(0.88)
     assert out["epoch"] == 7
+
+
+def test_train_iterator_selects_grain_when_workers_set(tmp_path, monkeypatch):
+    """TPU.DATA_WORKERS > 0 routes training batches through the grain
+    multiprocess pipeline; 0 keeps the default thread-prefetch path."""
+    from sunet_tf_tpu.data import grain_pipeline
+    from sunet_tf_tpu.train.trainer import Trainer
+
+    calls = {}
+
+    def fake_grain(root, ps, batch, **kw):
+        calls["args"] = (root, ps, batch, kw)
+        return iter(())
+
+    monkeypatch.setattr(grain_pipeline, "grain_batch_iterator", fake_grain)
+
+    t = object.__new__(Trainer)  # _train_iterator uses only these attrs
+    cfg = tiny_config()
+    t.cfg = cfg.replace(
+        training=cfg.training.__class__(train_dir="/data/train", train_ps=64,
+                                        seed=85),
+        tpu=cfg.tpu.__class__(data_workers=3),
+        optim=cfg.optim.__class__(batch=4),
+    )
+    t.train_ds = list(range(10))  # len > batch -> drop_last -> grain eligible
+
+    class _Mesh:
+        shape = {"data": 1}
+
+    t.mesh = _Mesh()
+    it = t._train_iterator(epoch=2)
+    list(it)
+    root, ps, batch, kw = calls["args"]
+    assert (root, ps, batch) == ("/data/train", 64, 4)
+    assert kw["workers"] == 3 and kw["seed"] == 85 + 2 and kw["drop_last"]
+
+    t.cfg = t.cfg.replace(tpu=cfg.tpu.__class__(data_workers=0))
+    calls.clear()
+    with pytest.raises(Exception):
+        # default path hits the real (nonexistent) dataset's .get — proves
+        # grain was NOT selected without spinning up real data
+        next(iter(t._train_iterator(epoch=2)))
+    assert not calls
