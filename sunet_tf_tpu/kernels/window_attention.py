@@ -572,9 +572,13 @@ def _shift_softmax(s: jnp.ndarray) -> jnp.ndarray:
       unguarded exp(s-40) overflowed past logit 127 (advisor finding).
       Beyond 80 the distribution saturates among the clamped entries
       instead of exploding; rows whose logits ALL sit below -47 underflow
-      to zeros (guarded against 0/0). Trained Swin logits measured on our
-      checkpoints sit well inside the exact band — asserted by
-      tests/test_trained_numerics.py on trained weights.
+      toward zeros (guarded against 0/0). MEASURED on weights trained
+      with the reference recipe (QK_SCALE=8): logits DO explode to
+      |logit| ~ 1e4 (the Swin-V2 concern is real), but saturated rows are
+      single-dominant, so the clamped form still equals the true one-hot
+      softmax — fused-vs-XLA mean |diff| 6.7e-4 and PSNR within 0.011 dB
+      of the torch reference on the trained checkpoint
+      (tests/test_trained_numerics.py pins both facts).
     - 'rowmax': textbook max-subtracted softmax, exact for every input;
       costs one extra lane-reduction pass over the (nW, N, N) scores.
       Measured on v5e @256² batch 32: 497 img/s vs shift's 526 (−5.4%,
