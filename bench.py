@@ -144,8 +144,15 @@ def bench_train(batch=None):
         fns = jit_steps(build_steps(cfg, graphdef, tx, task="denoise",
                                     sigma=50.0), mesh=None, donate=True)
         rngb = np.random.default_rng(0)
-        b = {"input": rngb.integers(0, 255, (batch, 256, 256, 3), dtype=np.uint8),
-             "target": rngb.integers(0, 255, (batch, 256, 256, 3), dtype=np.uint8)}
+        # Device-resident batch: through the remote-execution tunnel a
+        # per-step H2D of 6MB costs ~95ms and would mask the compute
+        # difference entirely (the real Trainer overlaps H2D with compute
+        # via Prefetcher(put=shard_batch), so steady-state training sees
+        # the compute number, not compute+transfer).
+        b = {"input": jnp.asarray(rngb.integers(
+                 0, 255, (batch, 256, 256, 3), dtype=np.uint8)),
+             "target": jnp.asarray(rngb.integers(
+                 0, 255, (batch, 256, 256, 3), dtype=np.uint8))}
         state = [params, opt_state, fns.init_metrics()]
         rng = jax.random.key(0)
 

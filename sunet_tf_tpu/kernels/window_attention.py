@@ -59,7 +59,11 @@ def _compiler_params(block_bytes: int = 0):
     kib = _os.environ.get("SUNET_VMEM_LIMIT_KIB")
     if kib is not None:
         return pltpu.CompilerParams(vmem_limit_bytes=int(kib) * 1024)
-    need = int(block_bytes * 1.75)
+    # 2x blocks + 4MB: double buffering plus in-kernel temporaries. The
+    # tighter 1.75x margin missed by 0.5MB on the scaled config's stage-0
+    # inference block (C=180, ws=16, 512^2) when XLA schedules the call
+    # inside a fori_loop body (stack allocation differs from straight-line).
+    need = int(block_bytes * 2) + 4 * 1024 * 1024
     if need <= 16 * 1024 * 1024:
         return None
     return pltpu.CompilerParams(
@@ -999,7 +1003,15 @@ def fused_swin_block(
         compiler_params=_compiler_params(
             2 * Hs * W * C * x.dtype.itemsize
             + _tree_bytes(wqkv, wproj, w1, w2)
-            + (h * N * N + int(np.prod(mask_block))) * 4),
+            + (h * N * N + int(np.prod(mask_block))) * 4
+            # in-kernel temporaries — dominant at ws=16 (N^2=65536): fp32
+            # qkv, per-head scores+probs, fp32 ctx, fp32 MLP hidden. The
+            # blocks-only estimate missed the scaled config's stage-0 by
+            # 0.5MB once XLA scheduled the call inside a fori_loop body.
+            + Hs * W * 3 * C * 4
+            + 2 * nW * N * N * 4
+            + Hs * W * C * 4
+            + Hs * W * hidden * 4),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * C * (4 * C + 2 * hidden)
             + 4 * B * H * W * N * C,
