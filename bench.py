@@ -194,11 +194,14 @@ def bench_tiled():
 
     def run_n(n):
         t0 = time.perf_counter()
-        out = None
+        acc = 0.0
         for _ in range(n):
             out = tiled_inference(model_fn, img, params, kernel=256,
                                   stride=128, tile_batch=32)
-        jax.block_until_ready(out)
+            # force materialization with a scalar D2H — block_until_ready
+            # can return lazily through the remote-execution tunnel and
+            # once produced a bogus 766 img/s reading
+            acc += float(jnp.sum(out[0, ::256, ::256, 0]))
         return time.perf_counter() - t0
 
     run_n(1)

@@ -44,14 +44,18 @@ from jax.experimental.pallas import tpu as pltpu
 from sunet_tf_tpu.ops.window import window_partition, window_reverse
 
 
-def _compiler_params(block_bytes: int = 0):
+def _compiler_params(block_bytes: int = 0, tmp_bytes: int = 0):
     """Mosaic VMEM window for a kernel.
 
-    Mosaic's default scoped window is 16MB, but v5e has 128MB physical VMEM
-    per core — kernels whose per-program blocks (weights + fp32 weight-grad
-    accumulators at C=768) exceed the default request a window sized to
-    their blocks plus 75% headroom for in-kernel temporaries and double
-    buffering, instead of falling back to XLA. SUNET_VMEM_LIMIT_KIB
+    Mosaic's default scoped window is 16MB, but v5e has 128MB physical
+    VMEM per core — kernels whose working set exceeds the default request
+    a window sized as 2x IO/weight blocks (double buffering) plus the
+    peak-phase in-kernel temporaries, instead of falling back to XLA.
+    Requesting no more than needed matters: an inflated window constrains
+    XLA's scheduling of surrounding ops (measured -10% on the train step
+    when stage-0 forwards over-requested 44MB). The margin history: a
+    blocks-only 1.75x missed the scaled config's stage-0 (ws=16) by 0.5MB
+    once XLA put the call inside a fori_loop body. SUNET_VMEM_LIMIT_KIB
     overrides (smaller-VMEM targets or experiments).
     """
     import os as _os
@@ -59,11 +63,7 @@ def _compiler_params(block_bytes: int = 0):
     kib = _os.environ.get("SUNET_VMEM_LIMIT_KIB")
     if kib is not None:
         return pltpu.CompilerParams(vmem_limit_bytes=int(kib) * 1024)
-    # 2x blocks + 4MB: double buffering plus in-kernel temporaries. The
-    # tighter 1.75x margin missed by 0.5MB on the scaled config's stage-0
-    # inference block (C=180, ws=16, 512^2) when XLA schedules the call
-    # inside a fori_loop body (stack allocation differs from straight-line).
-    need = int(block_bytes * 2) + 4 * 1024 * 1024
+    need = int(block_bytes * 2) + tmp_bytes + 4 * 1024 * 1024
     if need <= 16 * 1024 * 1024:
         return None
     return pltpu.CompilerParams(
@@ -90,23 +90,9 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
     k = qkv[:, C:2 * C].reshape(WT, N, C)
     v = qkv[:, 2 * C:].reshape(WT, N, C)
 
-    heads_out = []
-    for head in range(h):
-        sl = slice(head * d, (head + 1) * d)
-        qh = q[:, :, sl].astype(jnp.float32) * scale
-        kh = k[:, :, sl].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            qh, kh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (WT, N, N)
-        s = s + bias_ref[head]
-        if has_mask:
-            s = s + mask_ref[...]
-        p = _shift_softmax(s).astype(v.dtype)
-        ch = jax.lax.dot_general(
-            p, v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (WT, N, d)
-        heads_out.append(ch)
-    ctx = jnp.concatenate(heads_out, axis=-1).reshape(WT * N, C)
+    ctx = _attn_core(q, k, v, bias_ref,
+                     mask_ref[...] if has_mask else None,
+                     num_heads=h, scale=scale).reshape(WT * N, C)
 
     out = jnp.dot(ctx.astype(x_ref.dtype), wproj_ref[...],
                   preferred_element_type=jnp.float32) + bproj_ref[0]
@@ -196,7 +182,10 @@ def wmsa_core(
         compiler_params=_compiler_params(
             2 * WT * N * C * xw.dtype.itemsize
             + _tree_bytes(wqkv, bqkv2, wproj, bproj2, bias)
-            + int(np.prod(mask_block)) * 4),
+            + int(np.prod(mask_block)) * 4,
+            tmp_bytes=max(WT * N * 3 * C * 4,
+                          3 * WT * N * C * 2
+                          + _attn_tmp_bytes(WT, N, num_heads, C))),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * N * C * 4 * C + 4 * T * N * N * C,
             bytes_accessed=2 * T * N * C * xw.dtype.itemsize
@@ -597,6 +586,143 @@ def _shift_softmax(s: jnp.ndarray) -> jnp.ndarray:
     return e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-37)
 
 
+def _pad128(v: int) -> int:
+    return -(-v // 128) * 128
+
+
+def _attn_layout(head_dim: int = 0, N: int = 0, C: int = 0) -> str:
+    """Attention-core layout: 'auto' (default), 'blockdiag', or 'perhead'
+    via SUNET_ATTN_LAYOUT.
+
+    blockdiag replaces the per-head lane-slice loop with two batched
+    block-diagonal matmuls. Padded MACs per window per dot:
+    blockdiag = N * pad(C) * h*N  vs  perhead = h * N * pad(d) * pad(N),
+    so 'auto' picks blockdiag iff pad(C) * N <= pad(d) * pad(N) — ties go
+    to blockdiag for its full-lane softmax (scores lane-concat (N, h*N)).
+    Default model: stages 0-1 (d=12/24, N=64) -> blockdiag, stages 2-3
+    (d=48/96) -> perhead. Scaled WIN-16 model (N=256, no output-lane
+    padding) -> perhead everywhere.
+
+    Measured v5e @256² batch 32: auto 655.3 img/s / 42.0 TFLOP/s vs
+    all-perhead 529.6 / 34.0 (+24%); train step 158.3 vs 140.7 img/s.
+    Forcing blockdiag where the inequality fails regresses (train 112,
+    scaled WIN-16 54.2 vs 69.6).
+    """
+    import os as _os
+
+    mode = _os.environ.get("SUNET_ATTN_LAYOUT", "auto")
+    if mode == "auto":
+        if head_dim <= 0:
+            return "perhead"
+        return ("blockdiag"
+                if _pad128(C) * N <= _pad128(head_dim) * _pad128(N)
+                else "perhead")
+    return mode
+
+
+def _attn_tmp_bytes(nW: int, N: int, num_heads: int, C: int) -> int:
+    """Peak live attention temporaries (phase max — Mosaic's allocator
+    reuses dead buffers, so summing all phases over-requests the window,
+    which measurably constrains XLA scheduling around the kernel).
+
+    per-head: one (nW, N, N) fp32 score + bf16 prob pair live at a time.
+    blockdiag: max of the QK phase (block-diag K + fp32 lane-concat
+    scores), the softmax phase (fp32 scores + bf16 exp), and the PV
+    phase (bf16 exp + block-diag V + fp32 num/den)."""
+    if _attn_layout(C // num_heads, N, C) != "blockdiag":
+        return nW * N * N * (4 + 2)
+    hN = num_heads * N
+    qk = nW * C * hN * 2 + nW * N * hN * 4
+    sm = nW * N * hN * (4 + 2)
+    pv = nW * N * hN * 2 + nW * hN * C * 2 + 2 * nW * N * C * 4
+    return max(qk, sm, pv)
+
+
+def _attn_core(q, k, v, bias_ref, mask, *, num_heads: int, scale: float):
+    """Multi-head windowed attention core inside a kernel.
+
+    q, k, v: (nW, N, C); bias_ref: (h, N, N) fp32 ref/array;
+    mask: (nW or WT, N, N) fp32 additive or None.
+    Returns ctx (nW, N, C) fp32 (pre output-projection).
+
+    Two layouts, selected at trace time via SUNET_ATTN_LAYOUT:
+
+    - 'perhead' (default): static python loop over head lane-slices; each
+      head's QK^T/PV dot pads its d=C/h contraction (resp. output) lanes
+      to 128 — ~10x padded MACs at d=12 — and every softmax/elementwise
+      pass runs on (.., N=64) arrays at half lane utilization.
+    - 'blockdiag': all heads in two batched matmuls. K^T is produced by
+      one MXU transpose (dot with I_N — Mosaic has no cheap minor-dim
+      transpose), tiled h times along lanes and masked block-diagonally
+      (iota compare), so QK^T becomes (N, C)x(C, h*N): full contraction
+      lanes, half the padded MACs. Scores live lane-concat (N, h*N):
+      softmax and all elementwise passes run at full 128-lane width.
+      PV uses the mirrored block-diagonal V (h*N, C), collapsing the
+      head-merge concat into the matmul itself. Matmul inputs stay bf16
+      with fp32 accumulation (exactly the XLA path's precision,
+      models/layers.py:225-249; scale=8 is a power of two, lossless).
+    """
+    nW, N, C = q.shape
+    h = num_heads
+    d = C // h
+    f32 = jnp.float32
+    if _attn_layout(d, N, C) != "blockdiag":
+        heads_out = []
+        for head in range(h):
+            sl = slice(head * d, (head + 1) * d)
+            qh = q[:, :, sl].astype(f32) * scale
+            kh = k[:, :, sl].astype(f32)
+            s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=f32)
+            s = s + bias_ref[head][None]
+            if mask is not None:
+                s = s + mask
+            p = _shift_softmax(s).astype(v.dtype)
+            heads_out.append(jax.lax.dot_general(
+                p, v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32))
+        return jnp.concatenate(heads_out, axis=-1)
+
+    dt = q.dtype
+    hN = h * N
+    eye = jnp.eye(N, dtype=dt)
+    # (nW, C, N) = per-window K^T via MXU (contract q's N with I_N)
+    # fp32 accumulator (Mosaic requires 32-bit matmul acc), exact: the
+    # dot is a permutation. Cast back so the QK matmul takes bf16 inputs.
+    kt = jax.lax.dot_general(k, eye, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32).astype(dt)
+    cmask = (jax.lax.broadcasted_iota(jnp.int32, (C, hN), 0) // d
+             == jax.lax.broadcasted_iota(jnp.int32, (C, hN), 1) // N)
+    bk = jnp.concatenate([kt] * h, axis=-1) * cmask.astype(dt)
+    qs = (q.astype(f32) * scale).astype(dt)
+    s = jax.lax.dot_general(qs, bk, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=f32)  # (nW, N, hN)
+    s = s + jnp.concatenate([bias_ref[i] for i in range(h)], axis=-1)
+    if mask is not None:
+        s = s + jnp.concatenate([mask] * h, axis=-1)
+    # Per-head softmax without lane-split reshapes (flash-style): the exp
+    # runs one full-lane pass over (N, h*N); the per-head row sums come
+    # from a matmul against the same block-diagonal mask that selects V —
+    # den[i, c] = sum_{j in head(c)} e[i, head(c)*N+j] — so normalization
+    # is a (N, C)-shaped divide after the PV dot, never a segmented
+    # lane reduction. 'rowmax' subtracts the global row max (a per-row
+    # constant cancels in num/den, so per-head softmax is unchanged).
+    if _softmax_mode() == "rowmax":
+        e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    else:
+        e = jnp.exp(jnp.minimum(s, 80.0) - 40.0)
+    eb = e.astype(dt)
+    rmask = (jax.lax.broadcasted_iota(jnp.int32, (hN, C), 0) // N
+             == jax.lax.broadcasted_iota(jnp.int32, (hN, C), 1) // d)
+    bv = jnp.concatenate([v] * h, axis=-2) * rmask.astype(dt)
+    num = jax.lax.dot_general(eb, bv, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=f32)  # (nW, N, C)
+    den = jax.lax.dot_general(
+        eb, rmask.astype(dt), (((2,), (0,)), ((), ())),
+        preferred_element_type=f32)  # (nW, N, C)
+    return num / jnp.maximum(den, 1e-37)
+
+
 def _block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
                   bproj_ref, g2_ref, b2_ref, w1_ref, bm1_ref, w2_ref,
                   bm2_ref, bias_ref, mask_ref, dp_ref, o_ref, *, ws: int,
@@ -619,21 +745,9 @@ def _block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
     q = qkv[:, :C].reshape(nW, N, C)
     k = qkv[:, C:2 * C].reshape(nW, N, C)
     v = qkv[:, 2 * C:].reshape(nW, N, C)
-    heads_out = []
-    for head in range(h):
-        sl = slice(head * d, (head + 1) * d)
-        qh = q[:, :, sl].astype(jnp.float32) * scale
-        kh = k[:, :, sl].astype(jnp.float32)
-        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-        s = s + bias_ref[head][None]
-        if has_mask:
-            s = s + mask_ref[...]
-        p = _shift_softmax(s).astype(v.dtype)
-        heads_out.append(jax.lax.dot_general(
-            p, v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))
-    ctx = jnp.concatenate(heads_out, axis=-1).astype(x.dtype)
+    ctx = _attn_core(q, k, v, bias_ref,
+                     mask_ref[...] if has_mask else None,
+                     num_heads=h, scale=scale).astype(x.dtype)
     attn = jnp.dot(ctx.reshape(nW * N, C), wproj_ref[...],
                    preferred_element_type=jnp.float32) + bproj_ref[0]
     attn = attn.reshape(hh, ww, ws, ws, C).transpose(0, 2, 1, 3, 4)
@@ -1003,15 +1117,14 @@ def fused_swin_block(
         compiler_params=_compiler_params(
             2 * Hs * W * C * x.dtype.itemsize
             + _tree_bytes(wqkv, wproj, w1, w2)
-            + (h * N * N + int(np.prod(mask_block))) * 4
-            # in-kernel temporaries — dominant at ws=16 (N^2=65536): fp32
-            # qkv, per-head scores+probs, fp32 ctx, fp32 MLP hidden. The
-            # blocks-only estimate missed the scaled config's stage-0 by
-            # 0.5MB once XLA scheduled the call inside a fori_loop body.
-            + Hs * W * 3 * C * 4
-            + 2 * nW * N * N * 4
-            + Hs * W * C * 4
-            + Hs * W * hidden * 4),
+            + (h * N * N + int(np.prod(mask_block))) * 4,
+            # peak-phase temporaries (dominant at ws=16, N^2=65536):
+            # qkv-projection fp32 moment vs attention live set vs fp32
+            # MLP hidden — phases are sequential, so take the max.
+            tmp_bytes=max(
+                Hs * W * 3 * C * 4,
+                3 * Hs * W * C * 2 + _attn_tmp_bytes(nW, N, h, C),
+                Hs * W * hidden * 4 + Hs * W * C * 4)),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * C * (4 * C + 2 * hidden)
             + 4 * B * H * W * N * C,
