@@ -33,6 +33,10 @@ def main():
                    help="bit-parity with the reference's square padding")
     p.add_argument("--backend", default="pallas", choices=["pallas", "xla"],
                    help="attention backend; pallas = fused TPU kernels")
+    p.add_argument("--out_chans", type=int, default=None,
+                   help="model head channels (3 = denoise RGB, 1 = mask "
+                        "logits); overrides the config so checkpoints of "
+                        "either personality load without a YAML")
     args = p.parse_args()
 
     import jax
@@ -50,6 +54,9 @@ def main():
     cfg = load_config(args.config) if os.path.exists(args.config) else Config()
     cfg = cfg.replace(tpu=cfg.tpu.__class__(
         compute_dtype=cfg.tpu.compute_dtype, attention_backend=args.backend))
+    if args.out_chans is not None:
+        cfg = cfg.replace(swinunet=cfg.swinunet.__class__(
+            **{**cfg.swinunet.__dict__, "out_chans": args.out_chans}))
     model = build_model(cfg)
     graphdef, params = nnx.split(model, nnx.Param)
     if args.weights:
