@@ -79,3 +79,18 @@ def test_full_model_backend_parity(tiny_cfg):
     y2 = jax.jit(lambda s, x: nnx.merge(gd2, s)(x))(st2, x)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_attn_layout_auto_rule(monkeypatch):
+    """auto picks blockdiag iff pad(C)*N <= pad(d)*pad(N) (padded-MAC
+    inequality): default-model stages 0-1 yes, 2-3 no; WIN-16 never."""
+    from sunet_tf_tpu.kernels.window_attention import _attn_layout
+
+    monkeypatch.delenv("SUNET_ATTN_LAYOUT", raising=False)
+    assert _attn_layout(12, 64, 96) == "blockdiag"    # stage 0
+    assert _attn_layout(24, 64, 192) == "blockdiag"   # stage 1 (tie)
+    assert _attn_layout(48, 64, 384) == "perhead"     # stage 2
+    assert _attn_layout(96, 64, 768) == "perhead"     # stage 3
+    assert _attn_layout(30, 256, 180) == "perhead"    # scaled WIN-16
+    monkeypatch.setenv("SUNET_ATTN_LAYOUT", "blockdiag")
+    assert _attn_layout(96, 64, 768) == "blockdiag"   # explicit override
