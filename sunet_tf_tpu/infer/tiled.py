@@ -135,11 +135,16 @@ def tiled_inference(
         out_c = outs.shape[-1]
         outs = outs[:T]
     else:
-        pad_t = (-T) % tile_batch
+        # tile_batch bounds per-forward memory; balance the actual chunk
+        # size so padding is minimal (49 tiles at tile_batch=32 would pad
+        # to 2x32=64 — 23% wasted compute; balanced: 2x25=50, one pad tile)
+        n_chunks = -(-T // tile_batch)
+        chunk = -(-T // n_chunks)
+        pad_t = n_chunks * chunk - T
         if pad_t:
             tiles = jnp.concatenate(
                 [tiles, jnp.zeros((pad_t,) + tiles.shape[1:], tiles.dtype)])
-        chunks = tiles.reshape(-1, tile_batch, kernel, kernel, C)
+        chunks = tiles.reshape(n_chunks, chunk, kernel, kernel, C)
         outs = jax.lax.map(run, chunks)
         out_c = outs.shape[-1]
         outs = outs.reshape(-1, kernel, kernel, out_c)[:T]
