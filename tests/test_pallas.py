@@ -94,3 +94,30 @@ def test_attn_layout_auto_rule(monkeypatch):
     assert _attn_layout(30, 256, 180) == "perhead"    # scaled WIN-16
     monkeypatch.setenv("SUNET_ATTN_LAYOUT", "blockdiag")
     assert _attn_layout(96, 64, 768) == "blockdiag"   # explicit override
+
+
+@pytest.mark.parametrize("layout", ["perhead", "blockdiag"])
+@pytest.mark.parametrize("shift", [0, 2])
+def test_fused_matches_xla_both_layouts(monkeypatch, layout, shift):
+    """Both attention-core layouts must match XLA regardless of what the
+    auto rule would pick for the geometry (CI otherwise only exercises
+    the branch auto selects)."""
+    monkeypatch.setenv("SUNET_ATTN_LAYOUT", layout)
+    H, W, C, h = 8, 16, 24, 4
+    ws = 4
+    attn = WindowAttention(C, ws, h, qk_scale=8.0, rngs=nnx.Rngs(3))
+    attn.relative_position_bias_table[...] = (
+        jax.random.normal(jax.random.key(4),
+                          attn.relative_position_bias_table.shape))
+    x = jax.random.normal(jax.random.key(5), (2, H, W, C), jnp.float32)
+    ref = _xla_reference(attn, x, ws, shift)
+    xr = roll2d(x, -shift)
+    mask = shift_attn_mask(H, W, ws, shift) if shift > 0 else None
+    fused = fused_window_attention(
+        xr, attn.qkv.kernel[...], attn.qkv.bias[...],
+        attn.proj.kernel[...], attn.proj.bias[...],
+        attn.bias_matrix(), None if mask is None else jnp.asarray(mask),
+        ws=ws, num_heads=h, scale=attn.scale)
+    fused = roll2d(fused, shift)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
