@@ -573,10 +573,11 @@ def _shift_softmax(s: jnp.ndarray) -> jnp.ndarray:
       of the torch reference on the trained checkpoint
       (tests/test_trained_numerics.py pins both facts).
     - 'rowmax': textbook max-subtracted softmax, exact for every input;
-      costs one extra lane-reduction pass over the (nW, N, N) scores.
-      Measured on v5e @256² batch 32: 497 img/s vs shift's 526 (−5.4%,
-      below the 500 north star); kept as the paranoid fallback for
-      importing foreign checkpoints of unknown logit scale.
+      costs one extra lane-reduction pass over the scores. Measured on
+      v5e @256² batch 32: perhead-era 497 vs 526 img/s (−5.4%); under
+      the blockdiag auto layout the global-row-max form costs only
+      636.5 vs 655.3 (−2.9%) — the fallback for importing foreign
+      checkpoints of unknown logit scale is now nearly free.
     """
     if _softmax_mode() == "rowmax":
         m = jnp.max(s, axis=-1, keepdims=True)
