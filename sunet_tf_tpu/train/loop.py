@@ -128,14 +128,21 @@ def build_steps(
             tar = _prep_mask_target(tar)
         return inp, tar, key
 
-    def loss_and_metrics(params, inp, tar, key):
+    def loss_and_metrics(params, inp, tar, key, v):
+        """v: (B,) 0/1 valid mask — batch_iterator pads trailing partial
+        batches by wrapping to the epoch's first samples so the batch
+        divides the data mesh axis; without masking, those duplicated
+        rows would contribute to the loss and gradients unweighted
+        (round-2 advisor finding). The Σ(l·w)/Σw normalization makes the
+        masked loss exactly the mean over valid samples."""
         logits = forward(params, inp, key)
+        v4 = v[:, None, None, None]
         if task == "denoise":
-            loss = charbonnier_loss(logits, tar)
             weights = None
+            loss = charbonnier_loss(logits, tar, v4)
         else:
             weights = boundary_ring_weights(tar)
-            loss = charbonnier_loss(logits, tar, weights)
+            loss = charbonnier_loss(logits, tar, weights * v4)
         return loss, (logits, weights)
 
     def train_step(params, opt_state, batch, rng, step_idx, hists):
@@ -148,20 +155,25 @@ def build_steps(
         than its 200k-pixel subsample)."""
         key = jax.random.fold_in(rng, step_idx)
         inp, tar, key = prepare(batch, key)
+        v = batch.get("valid")
+        v = (jnp.ones((inp.shape[0],), jnp.float32) if v is None
+             else v.astype(jnp.float32))
         kmodel, _ = jax.random.split(key)
         (loss, (logits, weights)), grads = jax.value_and_grad(
-            loss_and_metrics, has_aux=True)(params, inp, tar, kmodel)
+            loss_and_metrics, has_aux=True)(params, inp, tar, kmodel, v)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        v4 = v[:, None, None, None]
         scalars = {"loss": loss}
         if task == "denoise":
             scalars["psnr"] = psnr(tar, jnp.clip(logits, 0.0, 1.0))
-            scalars["mse"] = mse_loss(logits, tar)
+            scalars["mse"] = mse_loss(logits, tar, v4)
         else:
-            scalars["mse"] = mse_loss(logits, tar)
-            scalars["mse_w"] = mse_loss(logits, tar, weights)
+            scalars["mse"] = mse_loss(logits, tar, v4)
+            scalars["mse_w"] = mse_loss(logits, tar, weights * v4)
             hists = update_histograms(hists, jax.nn.sigmoid(logits),
-                                      (tar > 0.5).astype(jnp.float32))
+                                      (tar > 0.5).astype(jnp.float32),
+                                      sample_weight=v)
         return params, opt_state, scalars, hists
 
     def init_metrics():

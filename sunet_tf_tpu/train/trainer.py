@@ -41,6 +41,28 @@ def _mean(xs):
     return float(np.mean([float(x) for x in xs])) if xs else float("nan")
 
 
+def maybe_enable_debug_nans() -> bool:
+    """SUNET_DEBUG_NANS=1 turns on jax_debug_nans — every jitted program
+    re-runs op-by-op on a NaN output and raises at the producing op. The
+    TPU-native sanitizer surface (SURVEY §5.2: the reference has none;
+    JAX's explicit PRNG gives determinism, this gives NaN localization).
+    Off by default: it forces a device sync per dispatch."""
+    if os.environ.get("SUNET_DEBUG_NANS", "0") not in ("", "0"):
+        jax.config.update("jax_debug_nans", True)
+        return True
+    return False
+
+
+def assert_finite_loss(loss: float, epoch: int, step: Optional[int] = None) -> None:
+    """Always-on cheap guard: a non-finite training loss fails the run
+    loudly instead of silently corrupting the checkpoint chain."""
+    if not np.isfinite(loss):
+        where = f"epoch {epoch}" + (f" step {step}" if step is not None else "")
+        raise FloatingPointError(
+            f"non-finite training loss ({loss}) at {where}; rerun with "
+            f"SUNET_DEBUG_NANS=1 to localize the producing op")
+
+
 class Trainer:
     def __init__(self, cfg: Config, task: Optional[str] = None,
                  sigma: float = 50.0, mesh=None, verbose: bool = True):
@@ -102,6 +124,7 @@ class Trainer:
         self.best = BestTracker(self.model_dir, best_metrics, mode="max")
         self.start_epoch = 1
         self.rng = jax.random.key(tr.seed)
+        maybe_enable_debug_nans()
 
         if tr.resume:
             self._resume()
@@ -169,6 +192,8 @@ class Trainer:
             if self.cfg.training.steps_per_epoch and nsteps >= self.steps_per_epoch:
                 break
         out = {k: _mean(v) for k, v in scalars_acc.items()}
+        if "loss" in out:
+            assert_finite_loss(out["loss"], epoch)
         out["steps"] = nsteps
         if self.task == "mask" and hists:
             # train-split AUROC/AUPRC from the on-device histograms

@@ -33,11 +33,16 @@ def _grads(backend, shift):
     return g_params, g_x
 
 
+@pytest.mark.parametrize("bwd_layout", ["blockdiag", "perhead"])
 @pytest.mark.parametrize("block_kernel", ["1", "0"],
                          ids=["whole-block", "sublayer"])
 @pytest.mark.parametrize("shift", [0, 2], ids=["unshifted", "shifted"])
-def test_grad_parity(monkeypatch, block_kernel, shift):
+def test_grad_parity(monkeypatch, block_kernel, shift, bwd_layout):
+    """Both backward attention-core layouts must match XLA autodiff —
+    the auto rule only reaches one branch per geometry (r3: the backward
+    kernels gained the blockdiag lane-concat layout)."""
     monkeypatch.setenv("SUNET_TRAIN_BLOCK_KERNEL", block_kernel)
+    monkeypatch.setenv("SUNET_ATTN_LAYOUT_BWD", bwd_layout)
     (gp1, gx1) = _grads("xla", shift)
     (gp2, gx2) = _grads("pallas", shift)
     np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),

@@ -128,15 +128,24 @@ def test_best_tracker_state_roundtrip(tmp_path):
 
 
 def test_shift_softmax_overflow_guard(monkeypatch):
-    """ADVICE medium finding: exp(s-40) overflowed for logits > ~127.
-    The clamped shift form must stay finite for ANY input and remain exact
-    inside the (-47, 80] band; rowmax mode is exact everywhere."""
+    """r2 ADVICE finding: exp(s-40) overflowed for logits > ~127. The
+    opt-in 'shift' form must stay finite for ANY input and remain exact
+    inside the (-47, 80] band; the DEFAULT (rowmax, r3 flip) is exact
+    everywhere including super-band logits."""
     import jax
     import jax.numpy as jnp
 
     from sunet_tf_tpu.kernels.window_attention import _shift_softmax
 
     hot = jnp.array([[200.0, 100.0, 0.0], [500.0, 499.0, -500.0]])
+
+    # default path (no env): exact softmax for any logit scale
+    monkeypatch.delenv("SUNET_SOFTMAX", raising=False)
+    np.testing.assert_allclose(np.asarray(_shift_softmax(hot)),
+                               np.asarray(jax.nn.softmax(hot, axis=-1)),
+                               rtol=1e-5, atol=1e-8)
+
+    monkeypatch.setenv("SUNET_SOFTMAX", "shift")
     p = np.asarray(_shift_softmax(hot))
     assert np.all(np.isfinite(p))
     assert np.allclose(p.sum(-1), 1.0, atol=1e-6)
@@ -144,11 +153,6 @@ def test_shift_softmax_overflow_guard(monkeypatch):
     band = jnp.array([[5.0, -3.0, 0.5], [79.0, 60.0, -40.0]])
     np.testing.assert_allclose(np.asarray(_shift_softmax(band)),
                                np.asarray(jax.nn.softmax(band, axis=-1)),
-                               rtol=1e-5, atol=1e-8)
-
-    monkeypatch.setenv("SUNET_SOFTMAX", "rowmax")
-    np.testing.assert_allclose(np.asarray(_shift_softmax(hot)),
-                               np.asarray(jax.nn.softmax(hot, axis=-1)),
                                rtol=1e-5, atol=1e-8)
 
 

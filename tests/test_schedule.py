@@ -79,3 +79,95 @@ def test_lr_constant_within_epoch():
                        total_epochs=5) for s in range(10)}
     assert len(lrs) == 1
     assert lr_for_step(10, 10, 2e-4, 1e-6, 5) != lr_for_step(9, 10, 2e-4, 1e-6, 5)
+
+
+# ---------------------------------------------------------------------------
+# Generic GradualWarmupScheduler parity (round-3): arbitrary multiplier and
+# the ReduceLROnPlateau branch, oracle = the ACTUAL reference class
+# (/root/reference/warmup_scheduler/scheduler.py) driven side by side.
+# ---------------------------------------------------------------------------
+
+import os  # noqa: E402
+
+_REF = "/root/reference/warmup_scheduler/scheduler.py"
+
+
+def _load_reference_scheduler():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("ref_warmup_sched", _REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.GradualWarmupScheduler
+
+
+@pytest.mark.skipif(not os.path.exists(_REF), reason="reference unavailable")
+@pytest.mark.parametrize("after", ["none", "cosine", "plateau"])
+@pytest.mark.parametrize("multiplier", [1.0, 2.0, 3.5])
+def test_generic_warmup_scheduler_vs_reference(after, multiplier):
+    from sunet_tf_tpu.train.schedule import (
+        CosineAnnealing,
+        GradualWarmupScheduler,
+        ReduceLROnPlateau,
+    )
+
+    RefSched = _load_reference_scheduler()
+    base, total_epoch, epochs = 2e-4, 3, 20
+    opt = torch.optim.Adam([torch.nn.Parameter(torch.zeros(1))], lr=base)
+    if after == "cosine":
+        t_after = torch.optim.lr_scheduler.CosineAnnealingLR(
+            opt, 16, eta_min=1e-6)
+        o_after = CosineAnnealing(16, eta_min=1e-6)
+    elif after == "plateau":
+        t_after = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode="min", factor=0.5, patience=2, cooldown=1)
+        o_after = ReduceLROnPlateau(mode="min", factor=0.5, patience=2,
+                                    cooldown=1)
+    else:
+        t_after = o_after = None
+    t_sched = RefSched(opt, multiplier, total_epoch, after_scheduler=t_after)
+    ours = GradualWarmupScheduler(base, multiplier, total_epoch,
+                                  after_scheduler=o_after)
+
+    # improving, then flat (triggers plateau reductions), then improving
+    metrics = list(np.linspace(1.0, 0.5, 8)) + [0.5] * 8 + [0.2] * 4
+    t_lrs, o_lrs = [], []
+    for e in range(epochs):
+        t_lrs.append(opt.param_groups[0]["lr"])
+        o_lrs.append(ours.lr)
+        if after == "plateau":
+            t_sched.step(metrics=float(metrics[e]))
+            ours.step(metrics=float(metrics[e]))
+        else:
+            t_sched.step()
+            ours.step()
+    if after != "cosine":
+        np.testing.assert_allclose(o_lrs, t_lrs, rtol=1e-6, atol=1e-12)
+    else:
+        # torch>=2 chained-scheduler artifact: the reference reads
+        # .get_lr() mid-step (scheduler.py:32), which on current torch
+        # evaluates the cosine recursion one step early — every
+        # post-warmup lr is scaled by 1/f(1), f(t)=(1+cos(pi*t/T))/2,
+        # relative to the closed form (torch 1.x, the reference's era,
+        # returned base_lrs at last_epoch==0 and matches the closed form
+        # exactly). Our class implements the clean closed form; the
+        # oracle comparison factors the version artifact out.
+        import math
+
+        f1 = (1.0 + math.cos(math.pi / 16)) / 2.0
+        eta = 1e-6
+        warm = total_epoch + 1  # warmup epochs + the pre-cosine epoch
+        np.testing.assert_allclose(o_lrs[:warm], t_lrs[:warm],
+                                   rtol=1e-6, atol=1e-12)
+        expect_tail = [eta + (lr - eta) / f1 for lr in o_lrs[warm:]]
+        np.testing.assert_allclose(expect_tail, t_lrs[warm:],
+                                   rtol=1e-6, atol=1e-12)
+    if after == "plateau":
+        assert min(o_lrs) < base * multiplier  # a reduction actually fired
+
+
+def test_generic_warmup_rejects_sub_one_multiplier():
+    from sunet_tf_tpu.train.schedule import GradualWarmupScheduler
+
+    with pytest.raises(ValueError):
+        GradualWarmupScheduler(1e-3, 0.5, 3)
