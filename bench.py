@@ -197,7 +197,7 @@ def bench_tiled():
         acc = 0.0
         for _ in range(n):
             out = tiled_inference(model_fn, img, params, kernel=256,
-                                  stride=128, tile_batch=32)
+                                  stride=128, tile_batch=64)
             # force materialization with a scalar D2H — block_until_ready
             # can return lazily through the remote-execution tunnel and
             # once produced a bogus 766 img/s reading

@@ -28,7 +28,9 @@ def main():
     p.add_argument("--config", default="training.yaml")
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--stride", type=int, default=128)
-    p.add_argument("--tile_batch", type=int, default=16)
+    p.add_argument("--tile_batch", type=int, default=64,
+                   help="tiles per forward; <= this many tiles run as one "
+                        "batched call (1024^2/stride-128 = 49 tiles)")
     p.add_argument("--square_pad", action="store_true",
                    help="bit-parity with the reference's square padding")
     p.add_argument("--backend", default="pallas", choices=["pallas", "xla"],
@@ -47,7 +49,7 @@ def main():
     from sunet_tf_tpu.ckpt import restore_checkpoint
     from sunet_tf_tpu.config import Config, load_config
     from sunet_tf_tpu.data.pipeline import natural_sorted
-    from sunet_tf_tpu.infer.tiled import tiled_inference
+    from sunet_tf_tpu.infer.tiled import TiledRunner
     from sunet_tf_tpu.models.sunet import build_model
     from sunet_tf_tpu.ops.metrics import tpr_fpr
 
@@ -74,16 +76,19 @@ def main():
         raise SystemExit(f"No image files found in {args.input_dir}")
     os.makedirs(args.result_dir, exist_ok=True)
 
+    # bucketed: mixed-size corpora reuse one model compile per
+    # padded-canvas shape instead of recompiling per exact image shape
+    runner = TiledRunner(model_fn, params, kernel=args.size,
+                         stride=args.stride, tile_batch=args.tile_batch,
+                         square_pad=args.square_pad)
+
     print("Restoring images...")
     results_txt = os.path.join(args.result_dir, "tpr_fpr_results.txt")
     with open(results_txt, "w") as rf:
         rf.write("Filename\tTPR\tFPR\n")
         for f in files:
             img = np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
-            y = tiled_inference(model_fn, jnp.asarray(img)[None], params,
-                                kernel=args.size, stride=args.stride,
-                                tile_batch=args.tile_batch,
-                                square_pad=args.square_pad)
+            y = runner(jnp.asarray(img)[None])
             y = np.asarray(jnp.clip(y, 0.0, 1.0))[0]
             if y.shape[-1] == 1:
                 y = np.repeat(y, 3, axis=-1)

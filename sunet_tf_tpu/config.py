@@ -116,6 +116,10 @@ class TPUConfig:
     # default thread-prefetch pipeline (reference ran num_workers=0,
     # train.py:156 — defect #9).
     data_workers: int = 0
+    # Spatial mesh axis size (>1 shards activation H over 'spatial' via
+    # GSPMD constraints — parallel/spatial.py::spatial_constrainer; forces
+    # the XLA attention path). 1 = data-parallel only.
+    spatial: int = 1
 
 
 @dataclass(frozen=True)

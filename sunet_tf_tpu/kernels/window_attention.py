@@ -631,18 +631,42 @@ def _bd_exp(s: jnp.ndarray, num_heads: int, exact: Optional[bool] = None
     exact=True forces the per-head rowmax form (backward recompute must
     differentiate true softmax regardless of the forward mode).
     """
+    import os as _os
+
     if exact is None:
         exact = _softmax_mode() == "rowmax"
     if not exact:
         return jnp.exp(jnp.minimum(s, 80.0) - 40.0)
     nW, N, hN = s.shape
-    n = hN // num_heads
-    m = jnp.concatenate(
-        [jnp.broadcast_to(
-            jnp.max(s[:, :, i * n:(i + 1) * n], axis=-1, keepdims=True),
-            (nW, N, n))
-         for i in range(num_heads)], axis=-1)
-    return jnp.exp(s - m)
+    h = num_heads
+    n = hN // h
+    slices = [s[:, :, i * n:(i + 1) * n] for i in range(h)]
+    variant = _os.environ.get("SUNET_BD_MAX", "slice")
+    if variant == "matmul":
+        # broadcast the h per-head maxes via one tiny-contraction MXU
+        # matmul. Measured v5e @256² batch 32: 580.7 img/s — LOSES to the
+        # VPU variants (the (N, hN) fp32 matmul output write dominates).
+        msmall = jnp.concatenate(
+            [jnp.max(si, axis=-1, keepdims=True) for si in slices], axis=-1)
+        expand = (jax.lax.broadcasted_iota(jnp.int32, (h, hN), 0)
+                  == jax.lax.broadcasted_iota(jnp.int32, (h, hN), 1) // n)
+        m = jax.lax.dot_general(msmall, expand.astype(jnp.float32),
+                                (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return jnp.exp(s - m)
+    if variant == "concat":
+        # h lane broadcasts + full-size concat of the maxes, then one
+        # full-width subtract+exp. Measured: 599.9 img/s.
+        m = jnp.concatenate(
+            [jnp.broadcast_to(jnp.max(si, axis=-1, keepdims=True),
+                              (nW, N, n)) for si in slices], axis=-1)
+        return jnp.exp(s - m)
+    # 'slice' (default): subtract each head's max inside its slice and
+    # concat the SHIFTED scores — fuses the broadcast-subtract into the
+    # concat writes, one fewer full-width pass than 'concat'.
+    s2 = jnp.concatenate(
+        [si - jnp.max(si, axis=-1, keepdims=True) for si in slices], axis=-1)
+    return jnp.exp(s2)
 
 
 def _attn_core(q, k, v, bias_ref, mask, *, num_heads: int, scale: float):

@@ -185,13 +185,22 @@ class SUNet(nnx.Module):
         self.output = Conv3x3(C, cfg.out_chans, use_bias=False, dtype=dtype, rngs=rngs)
         self.compute_dtype = dtype
 
-    def __call__(self, x: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, key: Optional[jax.Array] = None,
+                 constrain=None) -> jnp.ndarray:
         """x: (B, H, W, in_chans) in [0,1] -> (B, H, W, out_chans) raw logits.
 
         Pass ``key`` to enable dropout/stochastic-depth (training); omit it
         for deterministic (eval/inference) behavior.
+
+        ``constrain`` (optional): activation -> activation hook applied at
+        every stage boundary. Used by parallel.spatial.spatial_constrainer
+        to pin intermediate shardings (H over the 'spatial' mesh axis
+        where shards own whole window rows, data-only below) — GSPMD then
+        partitions the stage math and inserts the halo collectives;
+        semantics are unchanged by construction.
         """
         cfg = self.cfg
+        c = (lambda t: t) if constrain is None else constrain
         if x.shape[-1] == 1 and cfg.in_chans == 3:
             x = jnp.repeat(x, 3, axis=-1)
         if self.compute_dtype is not None:
@@ -201,8 +210,8 @@ class SUNet(nnx.Module):
         assert x.shape[1] % gran == 0 and x.shape[2] % gran == 0, (
             f"input {x.shape[1]}x{x.shape[2]} must be divisible by {gran}")
 
-        x = self.conv_first(x)
-        feats = self.patch_embed(x)
+        x = c(self.conv_first(c(x)))
+        feats = c(self.patch_embed(x))
         if self.absolute_pos_embed is not None:
             feats = feats + self.absolute_pos_embed[...].astype(feats.dtype)
         if key is not None and self.drop_rate > 0:
@@ -211,17 +220,17 @@ class SUNet(nnx.Module):
         skips = []
         for i, layer in enumerate(self.layers):
             skips.append(feats)
-            feats = layer(feats, None if key is None else jax.random.fold_in(key, i))
+            feats = c(layer(feats, None if key is None else jax.random.fold_in(key, i)))
         feats = self.norm(feats).astype(x.dtype)
 
-        feats = self.up_first(feats)
+        feats = c(self.up_first(feats))
         for j, layer_up in enumerate(self.layers_up):
             feats = jnp.concatenate([feats, skips[len(skips) - 1 - (j + 1)]], axis=-1)
             feats = self.concat_back_dim[j](feats)
-            feats = layer_up(feats, None if key is None else jax.random.fold_in(key, 100 + j))
+            feats = c(layer_up(feats, None if key is None else jax.random.fold_in(key, 100 + j)))
         feats = self.norm_up(feats).astype(x.dtype)
 
-        feats = self.up_final(feats)
+        feats = c(self.up_final(feats))
         out = self.output(feats)
         return out.astype(jnp.float32)
 

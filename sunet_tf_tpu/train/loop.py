@@ -103,13 +103,19 @@ def build_steps(
     task: str = "denoise",
     sigma: float = 50.0,
     augment: bool = True,
+    constrain=None,
 ) -> TrainStepFns:
-    """Build jitted-ready pure step functions over nnx (graphdef, params)."""
+    """Build jitted-ready pure step functions over nnx (graphdef, params).
+
+    constrain: optional activation-sharding hook threaded into the model
+    (parallel.spatial.spatial_constrainer) — TPU.SPATIAL > 1 shards
+    activation H over the 'spatial' mesh axis inside the same step.
+    """
     assert task in ("denoise", "mask")
 
     def forward(params, x, key=None):
         model = nnx.merge(graphdef, params)
-        return model(x, key=key)
+        return model(x, key=key, constrain=constrain)
 
     def prepare(batch, key):
         """uint8 batch dict -> float input/target with on-device aug/noise."""

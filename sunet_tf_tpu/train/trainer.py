@@ -66,6 +66,11 @@ def assert_finite_loss(loss: float, epoch: int, step: Optional[int] = None) -> N
 class Trainer:
     def __init__(self, cfg: Config, task: Optional[str] = None,
                  sigma: float = 50.0, mesh=None, verbose: bool = True):
+        if cfg.tpu.spatial > 1 and cfg.tpu.attention_backend != "xla":
+            # spatial sharding partitions via GSPMD; the Pallas kernels
+            # have no partitioning rule, so force the XLA attention path
+            cfg = cfg.replace(tpu=cfg.tpu.__class__(
+                **{**cfg.tpu.__dict__, "attention_backend": "xla"}))
         self.cfg = cfg
         self.task = task or ("mask" if cfg.swinunet.out_chans == 1 else "denoise")
         self.sigma = sigma
@@ -102,18 +107,28 @@ class Trainer:
         self.tx = make_optimizer(cfg, self.steps_per_epoch)
         self.opt_state = self.tx.init(self.params)
 
+        sp = max(1, cfg.tpu.spatial)
         if mesh is not None:
             self.mesh = mesh
+            sp = self.mesh.shape.get("spatial", 1)
         else:
             # data axis must divide the global batch; cfg can pin it,
             # otherwise use the largest divisor of batch <= device count.
             n_dev = len(jax.devices())
-            d = cfg.tpu.data_parallel or n_dev
+            d = cfg.tpu.data_parallel or max(1, n_dev // sp)
             while cfg.optim.batch % d:
                 d -= 1
-            self.mesh = make_mesh(data=d)
+            self.mesh = make_mesh(data=d, spatial=sp)
+        constrain = None
+        if sp > 1:
+            # TPU.SPATIAL > 1: shard activation H over 'spatial' inside
+            # the step (GSPMD partitions the math; XLA attention path —
+            # the Pallas kernels carry no partitioning rule).
+            from sunet_tf_tpu.parallel.spatial import spatial_constrainer
+
+            constrain = spatial_constrainer(self.mesh, cfg.swinunet.win_size)
         fns = build_steps(cfg, self.graphdef, self.tx, task=self.task,
-                          sigma=sigma)
+                          sigma=sigma, constrain=constrain)
         self.fns = jit_steps(fns, mesh=self.mesh, donate=cfg.tpu.donate)
 
         self.model_dir = os.path.join(tr.save_dir, cfg.mode, "models")
