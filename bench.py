@@ -180,7 +180,14 @@ def bench_train(batch=None):
 
 def bench_tiled():
     """BASELINE config #3: 1024^2 denoise via stride-128 overlap tiling
-    (reference demo_any_resolution.py:45-52,116-139 workload, batched)."""
+    (reference demo_any_resolution.py:45-52,116-139 workload, batched).
+
+    Chains n whole tiled programs inside ONE jit (fori_loop) and
+    differences two chain lengths — the same method as every other mode.
+    The previous per-call loop paid one tunnel dispatch + D2H sync per
+    image (~50 ms of RTT), which mismeasured the device throughput."""
+    import functools as _ft
+
     import jax
     import jax.numpy as jnp
     from flax import nnx
@@ -192,21 +199,26 @@ def bench_tiled():
     model_fn = lambda p, t: nnx.merge(graphdef, p)(t)
     img = jax.random.uniform(jax.random.key(0), (1, 1024, 1024, 3), jnp.float32)
 
-    def run_n(n):
-        t0 = time.perf_counter()
-        acc = 0.0
-        for _ in range(n):
-            out = tiled_inference(model_fn, img, params, kernel=256,
+    @_ft.partial(jax.jit, static_argnums=(2,))
+    def chain(p, img, n_iters):
+        def body(_, im):
+            out = tiled_inference(model_fn, im, p, kernel=256,
                                   stride=128, tile_batch=64)
-            # force materialization with a scalar D2H — block_until_ready
-            # can return lazily through the remote-execution tunnel and
-            # once produced a bogus 766 img/s reading
-            acc += float(jnp.sum(out[0, ::256, ::256, 0]))
-        return time.perf_counter() - t0
+            return im * 0.999 + 0.001 * jnp.mean(out)
 
-    run_n(1)
-    t2, t6 = run_n(2), run_n(6)
-    dt = (t6 - t2) / 4
+        return jnp.sum(jax.lax.fori_loop(0, n_iters, body, img))
+
+    def timed(n, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(chain(params, img, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    timed(1, reps=1)
+    timed(5, reps=1)
+    dt = (timed(5) - timed(1)) / 4
     ips = 1.0 / dt
     print(f"# tiled 1024^2 stride 128: {dt*1e3:.1f} ms/img "
           f"({ips:.2f} img/s, 49 tiles/img)", file=sys.stderr)

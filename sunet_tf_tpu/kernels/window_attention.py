@@ -553,6 +553,27 @@ def _pad128(v: int) -> int:
     return -(-v // 128) * 128
 
 
+def _cyc(t: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
+    """jnp.roll(t, s, axis) as concat-of-static-slices (Mosaic has no
+    native roll; static slices + concatenate lower cleanly)."""
+    n = t.shape[axis]
+    s = s % n
+    if s == 0:
+        return t
+    lo = jax.lax.slice_in_dim(t, n - s, n, axis=axis)
+    hi = jax.lax.slice_in_dim(t, 0, n - s, axis=axis)
+    return jnp.concatenate([lo, hi], axis=axis)
+
+
+def _cyc2(t: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Cyclic roll by s on the two leading spatial axes of (H, W, C) —
+    in-kernel equivalent of ops.window.roll2d on an un-batched map.
+    VMEM data movement only: fusing the SW-MSA roll/unroll into the block
+    kernel removes the XLA roll pair's HBM read+write round trips
+    (reference rolls at model/SUNet_detail.py:230-247)."""
+    return _cyc(_cyc(t, s, 0), s, 1)
+
+
 def _attn_layout(head_dim: int = 0, N: int = 0, C: int = 0) -> str:
     """Attention-core layout: 'auto' (default), 'blockdiag', or 'perhead'
     via SUNET_ATTN_LAYOUT.
@@ -939,7 +960,8 @@ def _attn_core_bwd(q, k, v, res, dctx, *, num_heads: int, scale: float):
 def _block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
                   bproj_ref, g2_ref, b2_ref, w1_ref, bm1_ref, w2_ref,
                   bm2_ref, bias_ref, mask_ref, dp_ref, o_ref, *, ws: int,
-                  num_heads: int, scale: float, has_mask: bool):
+                  num_heads: int, scale: float, has_mask: bool,
+                  shift: int = 0):
     _, H, W, C = x_ref.shape  # block (1, H, W, C)
     hh, ww = H // ws, W // ws
     nW = hh * ww
@@ -947,6 +969,11 @@ def _block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
     h = num_heads
     d = C // h
     x = x_ref[0]
+    if shift:
+        # SW-MSA cyclic shift fused into the kernel: the block owns the
+        # whole image (S == 1), so the roll is VMEM data movement and the
+        # external XLA roll pair (2 HBM round trips) disappears.
+        x = _cyc2(x, -shift)
 
     # ---- attention sublayer
     xn = _ln(x, g1_ref[0], b1_ref[0]).astype(x.dtype)
@@ -976,6 +1003,8 @@ def _block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
     m = jnp.dot(h1, w2_ref[...],
                 preferred_element_type=jnp.float32) + bm2_ref[0]
     out = y.astype(jnp.float32) + dp_ref[bb, 1] * m.reshape(H, W, C)
+    if shift:
+        out = _cyc2(out, shift)  # un-roll back to caller coordinates
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -1253,14 +1282,23 @@ def fused_swin_block(
     ws: int,
     num_heads: int,
     scale: float,
+    shift: int = 0,
+    train: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """One whole Swin block over an NHWC map already cyclically rolled.
+    """One whole Swin block over an NHWC map.
 
-    x: (B, H, W, C) RAW (pre-LN1) in rolled coordinates. Because every op
-    in the block (LN, window attention on the rolled layout, MLP,
-    residuals) commutes with the roll permutation, the block runs entirely
-    in rolled space; the caller un-rolls the output.
+    With ``shift == 0``, x: (B, H, W, C) RAW (pre-LN1) in rolled
+    coordinates. Because every op in the block (LN, window attention on
+    the rolled layout, MLP, residuals) commutes with the roll permutation,
+    the block runs entirely in rolled space; the caller un-rolls the
+    output.
+
+    With ``shift > 0`` (requires S == 1 strips — ``roll_fusable``), x is
+    UNROLLED and the kernel performs the SW-MSA roll/unroll itself as VMEM
+    data movement, eliminating the caller's XLA roll pair (2 full HBM
+    read+write round trips per shifted block). ``mask`` is still the
+    rolled-space SW-MSA mask.
 
     drop_path_scale: optional (B, 2) fp32 per-image scales for the two
     residual branches (stochastic depth); defaults to ones.
@@ -1275,13 +1313,10 @@ def fused_swin_block(
     # budget (~2k tokens at C=96 equivalent — measured to fit in the 16MB
     # scoped limit; override via SUNET_VMEM_TOKENS together with
     # --xla_tpu_scoped_vmem_limit_kib); strips align to window rows.
-    import os as _os
-
-    budget = int(_os.environ.get("SUNET_VMEM_TOKENS", 2048 * 96))
-    tokens_c = H * W * C
-    S = 1
-    while tokens_c // S > budget and (H // ws) % (S * 2) == 0:
-        S *= 2
+    S = _block_strips(H, W, C, ws, train=train)
+    assert shift == 0 or S == 1, (
+        "in-kernel roll needs the whole image per program (S == 1); "
+        "gate on roll_fusable()")
     Hs = H // S
     nW = (Hs // ws) * (W // ws)  # windows per strip
 
@@ -1299,7 +1334,8 @@ def fused_swin_block(
 
     f32row = lambda a, n: a.astype(jnp.float32).reshape(1, n)
     kernel = functools.partial(_block_kernel, ws=ws, num_heads=h,
-                               scale=float(scale), has_mask=has_mask)
+                               scale=float(scale), has_mask=has_mask,
+                               shift=shift)
     full = lambda *shape: pl.BlockSpec(shape, lambda bb, g: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     hidden = w1.shape[1]
@@ -1337,7 +1373,9 @@ def fused_swin_block(
             tmp_bytes=max(
                 Hs * W * 3 * C * 4,
                 3 * Hs * W * C * 2 + _attn_tmp_bytes(nW, N, h, C),
-                Hs * W * hidden * 4 + Hs * W * C * 4)),
+                Hs * W * hidden * 4 + Hs * W * C * 4)
+            # in-kernel roll copies (rolled x + unrolled out)
+            + (2 * Hs * W * C * x.dtype.itemsize if shift else 0)),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * C * (4 * C + 2 * hidden)
             + 4 * B * H * W * N * C,
@@ -1370,7 +1408,7 @@ def _block_bwd_kernel(x_ref, dout_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
                       dwproj_ref, dbproj_ref, dg2_ref, db2_ref, dw1_ref,
                       dbm1_ref, dw2_ref, dbm2_ref, dbias_ref, *, ws: int,
                       num_heads: int, scale: float, has_mask: bool,
-                      eps: float = 1e-5):
+                      shift: int = 0, eps: float = 1e-5):
     _, Hs, W, C = x_ref.shape  # block (1, Hs, W, C), Hs a multiple of ws
     hh, ww = Hs // ws, W // ws
     nW = hh * ww
@@ -1403,6 +1441,12 @@ def _block_bwd_kernel(x_ref, dout_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
 
     # ---- forward recompute: LN1 + W-MSA
     x = x_ref[0]
+    if shift:
+        # fused SW-MSA roll (see _block_kernel): x arrives UNROLLED and
+        # dout in unrolled coordinates; the whole backward runs in rolled
+        # space and dx is un-rolled before the store (permutation
+        # transpose = inverse permutation; weight grads are unaffected).
+        x = _cyc2(x, -shift)
     xf = x.astype(jnp.float32)
     mu1 = jnp.mean(xf, axis=-1, keepdims=True)
     xc1 = xf - mu1
@@ -1437,7 +1481,10 @@ def _block_bwd_kernel(x_ref, dout_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
     hgelu = _gelu_exact(a).astype(x.dtype)
 
     # ---- backward: MLP sublayer
-    dout = dout_ref[0].astype(jnp.float32)
+    dout = dout_ref[0]
+    if shift:
+        dout = _cyc2(dout, -shift)
+    dout = dout.astype(jnp.float32)
     dm = (s2 * dout).reshape(Hs * W, C).astype(x.dtype)
     dw2_ref[...] += jnp.dot(hgelu.T, dm, preferred_element_type=jnp.float32)
     dbm2_ref[...] += jnp.sum(dm.astype(jnp.float32), axis=0, keepdims=True)
@@ -1483,15 +1530,24 @@ def _block_bwd_kernel(x_ref, dout_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
     m1 = jnp.mean(dxhat1, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat1 * xhat1, axis=-1, keepdims=True)
     dx = dy + inv1 * (dxhat1 - m1 - xhat1 * m2)
+    if shift:
+        dx = _cyc2(dx, shift)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
-def _block_strips(H: int, W: int, C: int, ws: int) -> int:
+def _block_strips(H: int, W: int, C: int, ws: int, train: bool = True) -> int:
     """Row strips for the block kernels: window-row aligned, sized to the
-    SUNET_VMEM_TOKENS budget (same rule as fused_swin_block)."""
+    VMEM token budget (SUNET_VMEM_TOKENS overrides both defaults).
+
+    Inference default is 2x the training one: the forward kernel's live
+    set is ~half the backward's, and one whole 64x64x96 stage-0 image per
+    program measured FASTER (v5e 256^2 b32: 621.6 vs 602.7 img/s — the
+    S=1 grid + in-kernel roll); the backward kernel at the same budget
+    regressed, so training keeps the measured-safe 2048-token strips."""
     import os as _os
 
-    budget = int(_os.environ.get("SUNET_VMEM_TOKENS", 2048 * 96))
+    default = 2048 * 96 if train else 4096 * 96
+    budget = int(_os.environ.get("SUNET_VMEM_TOKENS", default))
     tokens_c = H * W * C
     S = 1
     while tokens_c // S > budget and (H // ws) % (S * 2) == 0:
@@ -1499,9 +1555,15 @@ def _block_strips(H: int, W: int, C: int, ws: int) -> int:
     return S
 
 
+def roll_fusable(H: int, W: int, C: int, ws: int, train: bool = True) -> bool:
+    """True when the block kernels can fuse the SW-MSA cyclic roll
+    (each program owns the whole image — one row strip)."""
+    return _block_strips(H, W, C, ws, train=train) == 1
+
+
 def _block_bwd_impl(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
                     w1, b1, w2, b2, bias, dp, mask, dout, ws, num_heads,
-                    scale, interpret=None):
+                    scale, shift=0, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, H, W, C = x.shape
@@ -1509,6 +1571,7 @@ def _block_bwd_impl(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
     h = num_heads
     hidden = w1.shape[1]
     S = _block_strips(H, W, C, ws)
+    assert shift == 0 or S == 1, "in-kernel roll needs S == 1"
     Hs = H // S
     nW = (Hs // ws) * (W // ws)
     has_mask = mask is not None
@@ -1523,7 +1586,8 @@ def _block_bwd_impl(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
     bqkv_arr = jnp.zeros((3 * C,), jnp.float32) if bqkv is None else bqkv
 
     kernel = functools.partial(_block_bwd_kernel, ws=ws, num_heads=h,
-                               scale=float(scale), has_mask=has_mask)
+                               scale=float(scale), has_mask=has_mask,
+                               shift=shift)
     full = lambda *shape: pl.BlockSpec(shape, lambda bb, g: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     strip = lambda: pl.BlockSpec((1, Hs, W, C), lambda bb, g: (bb, g, 0, 0),
@@ -1585,7 +1649,9 @@ def _block_bwd_impl(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
             + Hs * W * (3 * C * (x.dtype.itemsize + 4)
                         + 3 * hidden * 4 + hidden * x.dtype.itemsize
                         + 8 * C * 4)
-            + _attn_bwd_tmp_bytes(nW, N, h, C)),
+            + _attn_bwd_tmp_bytes(nW, N, h, C)
+            # in-kernel roll copies (rolled x/dout + unrolled dx)
+            + (3 * Hs * W * C * x.dtype.itemsize if shift else 0)),
     )(x, dout.astype(x.dtype), f32row(ln1_s, C), f32row(ln1_b, C),
       cast(wqkv), f32row(bqkv_arr, 3 * C), cast(wproj), f32row(bproj, C),
       f32row(ln2_s, C), f32row(ln2_b, C), cast(w1), f32row(b1, hidden),
@@ -1609,39 +1675,42 @@ def _block_bwd_impl(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
             dbias.astype(bias.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19))
 def swin_block_trainable(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s,
                          ln2_b, w1, b1, w2, b2, bias, dp, mask_static, ws,
-                         num_heads, scale):
+                         num_heads, scale, shift=0):
     """Differentiable whole Swin block (Pallas fwd AND bwd) over a rolled
-    NHWC map. dp: (B, 2) per-sample stochastic-depth scales for the two
-    residual branches (ones when inactive); its cotangent is zero."""
+    NHWC map (or an UNROLLED map with shift > 0 — the kernels fuse the
+    SW-MSA roll, see fused_swin_block). dp: (B, 2) per-sample
+    stochastic-depth scales for the two residual branches (ones when
+    inactive); its cotangent is zero."""
     mask = None if mask_static is None else jnp.asarray(
         mask_static.arr, jnp.float32)
     return fused_swin_block(
         x, (ln1_s, ln1_b), wqkv.astype(x.dtype), bqkv, wproj.astype(x.dtype),
         bproj, (ln2_s, ln2_b), w1.astype(x.dtype), b1, w2.astype(x.dtype),
         b2, bias, mask, drop_path_scale=dp, ws=ws, num_heads=num_heads,
-        scale=scale)
+        scale=scale, shift=shift, train=True)
 
 
 def _block_fwd(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b, w1,
-               b1, w2, b2, bias, dp, mask_static, ws, num_heads, scale):
+               b1, w2, b2, bias, dp, mask_static, ws, num_heads, scale,
+               shift=0):
     out = swin_block_trainable(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
                                ln2_s, ln2_b, w1, b1, w2, b2, bias, dp,
-                               mask_static, ws, num_heads, scale)
+                               mask_static, ws, num_heads, scale, shift)
     return out, (x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
                  w1, b1, w2, b2, bias, dp)
 
 
-def _block_bwd(mask_static, ws, num_heads, scale, res, dout):
+def _block_bwd(mask_static, ws, num_heads, scale, shift, res, dout):
     (x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b, w1, b1, w2,
      b2, bias, dp) = res
     mask = None if mask_static is None else jnp.asarray(
         mask_static.arr, jnp.float32)
     grads = _block_bwd_impl(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
                             ln2_s, ln2_b, w1, b1, w2, b2, bias, dp, mask,
-                            dout, ws, num_heads, scale)
+                            dout, ws, num_heads, scale, shift=shift)
     return grads + (jnp.zeros_like(dp),)
 
 

@@ -324,12 +324,18 @@ class SwinBlock(nnx.Module):
     def _fused_block(self, x: jnp.ndarray, ss: int) -> jnp.ndarray:
         """Whole-block Pallas kernel (LN1+W-MSA+res+LN2+MLP+res), rolled
         coordinates handled here. Inference path (no dropout/droppath)."""
-        from sunet_tf_tpu.kernels.window_attention import fused_swin_block
+        from sunet_tf_tpu.kernels.window_attention import (
+            fused_swin_block,
+            roll_fusable,
+        )
 
-        H, W = x.shape[1], x.shape[2]
+        H, W, C = x.shape[1], x.shape[2], x.shape[3]
         ws = self.window_size
         a = self.attn
-        xr = roll2d(x, -ss)
+        # when each kernel program owns the whole image, the SW-MSA roll
+        # fuses into the kernel (VMEM data movement, no XLA roll pair)
+        fuse_roll = ss > 0 and roll_fusable(H, W, C, ws, train=False)
+        xr = x if (ss == 0 or fuse_roll) else roll2d(x, -ss)
         mask = shift_attn_mask(H, W, ws, ss) if ss > 0 else None
         out = fused_swin_block(
             xr,
@@ -342,13 +348,15 @@ class SwinBlock(nnx.Module):
             self.mlp.fc2.kernel[...].astype(x.dtype), self.mlp.fc2.bias[...],
             a.bias_matrix(),
             None if mask is None else jnp.asarray(mask),
-            ws=ws, num_heads=a.num_heads, scale=a.scale)
-        return roll2d(out, ss)
+            ws=ws, num_heads=a.num_heads, scale=a.scale,
+            shift=ss if fuse_roll else 0)
+        return out if (ss == 0 or fuse_roll) else roll2d(out, ss)
 
     def _trainable_block(self, x: jnp.ndarray, ss: int, kd1, kd2) -> jnp.ndarray:
         """Whole-block custom-VJP kernel (Pallas fwd AND bwd) with
         per-sample stochastic-depth scales sampled here."""
         from sunet_tf_tpu.kernels.window_attention import (
+            roll_fusable,
             static_mask,
             swin_block_trainable,
         )
@@ -363,7 +371,15 @@ class SwinBlock(nnx.Module):
         else:
             dp = jnp.ones((B, 2), jnp.float32)
         a = self.attn
-        xr = roll2d(x, -ss)
+        # In-kernel roll in the TRAINING kernels is off by default: fusing
+        # it into the backward kernel measured a big regression (v5e b16:
+        # 152 vs 212 img/s — the bwd kernel is VMEM-tight and the three
+        # extra rolled copies push it over), while the inference kernel
+        # gains. SUNET_TRAIN_ROLL_FUSE=1 re-enables for re-measurement.
+        fuse_roll = (ss > 0
+                     and os.environ.get("SUNET_TRAIN_ROLL_FUSE", "0") == "1"
+                     and roll_fusable(H, W, C, self.window_size))
+        xr = x if (ss == 0 or fuse_roll) else roll2d(x, -ss)
         out = swin_block_trainable(
             xr, self.norm1.scale[...], self.norm1.bias[...],
             a.qkv.kernel[...],
@@ -374,8 +390,9 @@ class SwinBlock(nnx.Module):
             self.mlp.fc2.kernel[...], self.mlp.fc2.bias[...],
             a.bias_matrix(), dp,
             static_mask(H, W, self.window_size, ss),
-            self.window_size, a.num_heads, a.scale)
-        return roll2d(out, ss)
+            self.window_size, a.num_heads, a.scale,
+            ss if fuse_roll else 0)
+        return out if (ss == 0 or fuse_roll) else roll2d(out, ss)
 
     def __call__(self, x: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
         B, H, W, C = x.shape

@@ -160,3 +160,25 @@ def test_fused_matches_xla_both_layouts(monkeypatch, layout, shift):
     fused = roll2d(fused, shift)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_inkernel_roll_matches_external_roll(monkeypatch):
+    """shift>0 fused into the block kernel (unrolled input/output) must
+    bit-match the external roll2d + shift=0 kernel + roll2d path — same
+    math, the roll just moves from XLA HBM copies into VMEM data
+    movement. Forcing a tiny SUNET_VMEM_TOKENS budget makes S>1 so the
+    model falls back to external rolls; both answers must agree."""
+    kw = dict(window_size=4, shift_size=2, qk_scale=8.0, drop_path_rate=0.0)
+    blk = SwinBlock(16, (16, 16), 2, backend="pallas", rngs=nnx.Rngs(5), **kw)
+    x = jax.random.normal(jax.random.key(3), (2, 16, 16, 16))
+
+    from sunet_tf_tpu.kernels import window_attention as wa
+
+    assert wa.roll_fusable(16, 16, 16, 4)
+    y_fused = blk(x)  # default budget: S == 1 -> in-kernel roll
+
+    monkeypatch.setenv("SUNET_VMEM_TOKENS", "1024")  # forces S > 1
+    assert not wa.roll_fusable(16, 16, 16, 4)
+    y_ext = blk(x)  # external roll2d fallback
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ext),
+                               rtol=1e-5, atol=1e-5)

@@ -97,3 +97,20 @@ def test_training_step_with_pallas_backend():
     for _ in range(3):
         p, o, l = step(p, o)
     assert float(l) < float(l0)
+
+
+def test_inkernel_roll_grads_match_external(monkeypatch):
+    """Gradients through the fused-roll trainable block (shift>0 in the
+    kernels, SUNET_TRAIN_ROLL_FUSE=1 — off by default after it measured
+    slower on hardware) == gradients through the external-roll path."""
+    import numpy as _np
+
+    monkeypatch.setenv("SUNET_TRAIN_ROLL_FUSE", "1")
+    (gp1, gx1) = _grads("pallas", 2)  # in-kernel roll (fwd+bwd kernels)
+    monkeypatch.delenv("SUNET_TRAIN_ROLL_FUSE")
+    (gp2, gx2) = _grads("pallas", 2)  # external roll2d default
+    _np.testing.assert_allclose(_np.asarray(gx1), _np.asarray(gx2),
+                                rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree.leaves(gp1), jax.tree.leaves(gp2)):
+        _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b),
+                                    rtol=2e-4, atol=2e-4)
