@@ -14,8 +14,12 @@ import is deferred/gated so environments without grain keep working.
 
 Contract (same as data/pipeline.py::batch_iterator): yields
 ``{"input": u8 (B,ps,ps,3), "target": u8 (B,ps,ps,3), "valid": f32 (B,),
-"names": None}``. Names are not threaded through worker processes; the
-callers that need filenames (demo/eval CLIs) use the default pipeline.
+"names": [...]}``. Filenames are recovered host-side from record indices
+threaded through the worker processes (arrays cross the process boundary;
+the string lookup happens in the parent), so eval/demo callers that need
+names can use this path too. ``pad_to`` pads a trailing partial batch by
+wrapping (valid=0 rows) exactly like ``batch_iterator`` — required for
+mesh-sharded eval.
 """
 
 from __future__ import annotations
@@ -53,7 +57,10 @@ def _make_classes():
 
         def __getitem__(self, i: int):
             ip, tp = self.pairs[int(i)]
-            return {"input": load_image_u8(ip), "target": load_image_u8(tp)}
+            # idx rides along as an array (strings do not cross the worker
+            # process boundary); the parent maps it back to a filename.
+            return {"input": load_image_u8(ip), "target": load_image_u8(tp),
+                    "idx": np.int64(i)}
 
     class PadCrop(pg.RandomMapTransform):
         """Reflect-pad below patch size, then random (train) / center (eval)
@@ -73,9 +80,9 @@ def _make_classes():
                 r = int(rng.integers(0, h - ps + 1))
                 c = int(rng.integers(0, w - ps + 1))
                 return {"input": inp[r:r + ps, c:c + ps],
-                        "target": tar[r:r + ps, c:c + ps]}
+                        "target": tar[r:r + ps, c:c + ps], "idx": x["idx"]}
             return {"input": center_crop_np(inp, ps),
-                    "target": center_crop_np(tar, ps)}
+                    "target": center_crop_np(tar, ps), "idx": x["idx"]}
 
     return pg, DecodedPairSource, PadCrop
 
@@ -83,14 +90,21 @@ def _make_classes():
 def grain_batch_iterator(root: str, patch_size: int, batch: int,
                          train: bool = True, shuffle: bool = True,
                          drop_last: bool = True, seed: int = 0,
-                         workers: int = 0) -> Iterator[dict]:
+                         workers: int = 0, pad_to: int = 0) -> Iterator[dict]:
     """Multiprocess equivalent of ``batch_iterator`` over a data root.
 
     workers=0 runs in-process (still useful: identical semantics for
     tests); workers=N decodes/crops in N subprocesses with prefetch.
+    pad_to > 1 pads a trailing partial batch by repeating its rows so the
+    leading dim is a multiple of the data-mesh axis; pad rows carry
+    valid=0 (batch_iterator contract — exact eval masks them out).
     """
+    import os as _os
+
     pg, DecodedPairSource, PadCrop = _make_classes()
     src = DecodedPairSource(root)
+    stems = [_os.path.splitext(_os.path.basename(tp))[0]
+             for _, tp in src.pairs]
     loader = pg.DataLoader(
         data_source=src,
         sampler=pg.IndexSampler(
@@ -101,7 +115,16 @@ def grain_batch_iterator(root: str, patch_size: int, batch: int,
         worker_count=int(workers),
     )
     for b in loader:
-        yield {"input": np.asarray(b["input"]),
-               "target": np.asarray(b["target"]),
-               "valid": np.ones((b["input"].shape[0],), np.float32),
-               "names": None}
+        inp, tar = np.asarray(b["input"]), np.asarray(b["target"])
+        idx = np.asarray(b["idx"], np.int64)
+        n_real = inp.shape[0]
+        if pad_to > 1 and n_real % pad_to:
+            need = -(-n_real // pad_to) * pad_to - n_real
+            rows = np.resize(np.arange(n_real), need)
+            inp = np.concatenate([inp, inp[rows]])
+            tar = np.concatenate([tar, tar[rows]])
+            idx = np.concatenate([idx, idx[rows]])
+        valid = np.zeros((inp.shape[0],), np.float32)
+        valid[:n_real] = 1.0
+        yield {"input": inp, "target": tar, "valid": valid,
+               "names": [stems[int(i)] for i in idx]}

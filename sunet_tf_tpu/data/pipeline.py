@@ -106,6 +106,7 @@ class PairDataset:
         import collections
 
         self.pairs = list_image_pairs(root)
+        self.root = root  # kept so callers can re-target the grain pipeline
         self.ps = patch_size
         self.train = train
         self.rng = np.random.default_rng(seed)

@@ -181,3 +181,27 @@ def test_grain_pipeline_matches_contract(tmp_path):
     ds = PairDataset(str(tmp_path), 16, train=False)
     ref = np.stack([ds.get(i)[0] for i in range(5)])
     np.testing.assert_array_equal(ev[0]["input"], ref)
+    # filenames are threaded through (round-2 weak #6: grain used to drop
+    # them, forcing eval onto the single-threaded path)
+    assert ev[0]["names"] == [ds.get(i)[2] for i in range(5)]
+
+
+def test_grain_pipeline_pads_partial_batch(tmp_path):
+    """pad_to pads the trailing partial batch with valid=0 rows (the
+    batch_iterator contract mesh-sharded eval depends on)."""
+    pytest.importorskip("grain")
+    from sunet_tf_tpu.data.grain_pipeline import grain_batch_iterator
+
+    _write(str(tmp_path), "input", [f"p_{k}.png" for k in range(5)],
+           size=(20, 24))
+    _write(str(tmp_path), "target", [f"p_{k}.png" for k in range(5)],
+           size=(20, 24))
+    bs = list(grain_batch_iterator(str(tmp_path), patch_size=16, batch=4,
+                                   train=False, shuffle=False,
+                                   drop_last=False, workers=0, pad_to=4))
+    assert [b["input"].shape[0] for b in bs] == [4, 4]
+    assert bs[0]["valid"].tolist() == [1.0] * 4
+    assert bs[1]["valid"].tolist() == [1.0, 0.0, 0.0, 0.0]
+    # pad rows repeat real rows of the partial batch (masked by valid=0)
+    np.testing.assert_array_equal(bs[1]["input"][1], bs[1]["input"][0])
+    assert len(bs[1]["names"]) == 4
