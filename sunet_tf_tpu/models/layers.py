@@ -540,15 +540,20 @@ class DualUpsample(nnx.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         r = self.factor
         out_ch = self.mix.lin.kernel.shape[1]
-        # Two algebraic rewrites of the reference dataflow (bit-equivalent
+        # Three algebraic rewrites of the reference dataflow (bit-equivalent
         # up to fp reassociation, big HBM savings at the upsampled res):
-        # 1. 1x1 convs commute with bilinear resize -> run up_b's second
-        #    conv (and the mix contribution) at LOW resolution, resize last.
+        # 1. 1x1 convs commute with bilinear resize -> run up_b's branch
+        #    math at LOW resolution, resize last.
         # 2. mix(concat(xp, xb)) == xp @ Wp + xb @ Wb -> no concat tensor.
+        # 3. both second 1x1 convs are bias-free, so they fold into the mix
+        #    projections in WEIGHT space: W2 @ Wmix is a tiny (out, out)
+        #    matmul, deleting a full-resolution activation matmul (an HBM
+        #    read+write round trip of the upsampled tensor) per branch.
         wp = self.mix.lin.kernel[...][:out_ch]
         wb = self.mix.lin.kernel[...][out_ch:]
-        xp = self.up_p_conv2(pixel_shuffle(self.up_p_act(self.up_p_conv1(x)), r))
-        xb_low = self.up_b_conv2(self.up_b_act(self.up_b_conv1(x)))
-        dt = xp.dtype
-        mixed_b_low = xb_low @ wb.astype(dt)  # (1x1 convs fold: low res)
-        return xp @ wp.astype(dt) + bilinear_resize(mixed_b_low, r)
+        xp_pre = pixel_shuffle(self.up_p_act(self.up_p_conv1(x)), r)
+        xb_pre = self.up_b_act(self.up_b_conv1(x))
+        dt = xp_pre.dtype
+        wpf = (self.up_p_conv2.lin.kernel[...] @ wp).astype(dt)
+        wbf = (self.up_b_conv2.lin.kernel[...] @ wb).astype(dt)
+        return xp_pre @ wpf + bilinear_resize(xb_pre @ wbf, r)
