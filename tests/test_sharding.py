@@ -54,12 +54,31 @@ def test_eight_device_step_matches_single(setup):
     assert np.isfinite(float(s8["loss"]))
     np.testing.assert_allclose(float(s8["loss"]), float(s1["loss"]),
                                rtol=1e-5)
-    # parameters after one step agree bit-for-bit up to reduction order
-    # (pull to host: the two results live on different meshes)
-    l8, l1 = jax.tree.leaves(p8), jax.tree.leaves(p1)
-    worst = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
-                for a, b in zip(l8, l1))
+    # Parameters after one step agree up to psum reduction order — EXCEPT
+    # the K slice of each qkv bias. Softmax is shift-invariant, so the
+    # K-bias (which adds q·b_k uniformly across a score row) has a
+    # mathematically ZERO gradient; the computed gradient is pure
+    # catastrophic-cancellation noise whose value depends on reduction
+    # order, and Adam normalizes that noise to an lr-scale step
+    # (measured: q/v slices agree to ~1e-11 while K diverges ~1e-4 ≈
+    # lr/2 — same structural redundancy exists in the reference's torch
+    # qkv bias, model/SUNet_detail.py:79). Bound K by the max possible
+    # Adam step instead.
+    lr = cfg.optim.lr_initial
+    flat8 = jax.tree_util.tree_leaves_with_path(p8)
+    flat1 = jax.tree.leaves(p1)
+    worst, worst_k = 0.0, 0.0
+    for (path, a), b in zip(flat8, flat1):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        ks = jax.tree_util.keystr(path)
+        if "qkv" in ks and "bias" in ks:
+            C = d.shape[0] // 3
+            worst_k = max(worst_k, float(d[C:2 * C].max()))
+            d = np.concatenate([d[:C], d[2 * C:]])
+        worst = max(worst, float(d.max()))
     assert worst < 1e-5, f"sharded step diverged from single-device: {worst}"
+    assert worst_k < 2 * lr, (
+        f"K-bias divergence {worst_k} exceeds the Adam step bound {2 * lr}")
 
 
 def test_batch_actually_sharded(setup):
