@@ -524,9 +524,11 @@ class DualUpsample(nnx.Module):
     Branch b: 1x1 conv (bias) -> PReLU -> bilinear x{2,4} -> 1x1 conv.
     """
 
-    def __init__(self, in_ch: int, factor: int, *, dtype=None, rngs: nnx.Rngs):
+    def __init__(self, in_ch: int, factor: int, *, dtype=None,
+                 backend: str = "xla", rngs: nnx.Rngs):
         assert factor in (2, 4)
         self.factor = factor
+        self.backend = backend
         out_ch = in_ch // 2 if factor == 2 else in_ch
         expand = 2 * in_ch if factor == 2 else 16 * in_ch
         self.up_p_conv1 = Conv1x1(in_ch, expand, use_bias=False, dtype=dtype, rngs=rngs)
@@ -537,7 +539,7 @@ class DualUpsample(nnx.Module):
         self.up_b_conv2 = Conv1x1(in_ch, out_ch, use_bias=False, dtype=dtype, rngs=rngs)
         self.mix = Conv1x1(2 * out_ch, out_ch, use_bias=False, dtype=dtype, rngs=rngs)
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, fused: bool = True) -> jnp.ndarray:
         r = self.factor
         out_ch = self.mix.lin.kernel.shape[1]
         # Three algebraic rewrites of the reference dataflow (bit-equivalent
@@ -551,9 +553,20 @@ class DualUpsample(nnx.Module):
         #    read+write round trip of the upsampled tensor) per branch.
         wp = self.mix.lin.kernel[...][:out_ch]
         wb = self.mix.lin.kernel[...][out_ch:]
+        wpf = self.up_p_conv2.lin.kernel[...] @ wp
+        wbf = self.up_b_conv2.lin.kernel[...] @ wb
+        if r == 4 and fused and self.backend == "pallas":
+            # Whole head in one Pallas kernel (inference path): kills the
+            # expand/shuffle/resize HBM relayout copies — see
+            # kernels/upsample.py. Gated out under training (no VJP).
+            from sunet_tf_tpu.kernels.upsample import fused_dual_upsample4
+
+            return fused_dual_upsample4(
+                x, self.up_p_conv1.lin.kernel[...], self.up_p_act.alpha[...],
+                self.up_b_conv1.lin.kernel[...], self.up_b_conv1.lin.bias[...],
+                self.up_b_act.alpha[...], wpf, wbf)
         xp_pre = pixel_shuffle(self.up_p_act(self.up_p_conv1(x)), r)
         xb_pre = self.up_b_act(self.up_b_conv1(x))
         dt = xp_pre.dtype
-        wpf = (self.up_p_conv2.lin.kernel[...] @ wp).astype(dt)
-        wbf = (self.up_b_conv2.lin.kernel[...] @ wb).astype(dt)
-        return xp_pre @ wpf + bilinear_resize(xb_pre @ wbf, r)
+        return (xp_pre @ wpf.astype(dt)
+                + bilinear_resize(xb_pre @ wbf.astype(dt), r))

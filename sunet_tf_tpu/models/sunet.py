@@ -181,7 +181,8 @@ class SUNet(nnx.Module):
                     use_checkpoint=cfg.use_checkpoint, backend=backend,
                     ablate=ablate, dtype=dtype, rngs=rngs))
         self.norm_up = nnx.LayerNorm(C, epsilon=1e-5, dtype=jnp.float32, rngs=rngs)
-        self.up_final = DualUpsample(C, 4, dtype=dtype, rngs=rngs)
+        self.up_final = DualUpsample(C, 4, dtype=dtype, backend=backend,
+                                     rngs=rngs)
         self.output = Conv3x3(C, cfg.out_chans, use_bias=False, dtype=dtype, rngs=rngs)
         self.compute_dtype = dtype
 
@@ -230,7 +231,7 @@ class SUNet(nnx.Module):
             feats = c(layer_up(feats, None if key is None else jax.random.fold_in(key, 100 + j)))
         feats = self.norm_up(feats).astype(x.dtype)
 
-        feats = c(self.up_final(feats))
+        feats = c(self.up_final(feats, fused=key is None))
         out = self.output(feats)
         return out.astype(jnp.float32)
 

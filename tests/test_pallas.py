@@ -182,3 +182,48 @@ def test_inkernel_roll_matches_external_roll(monkeypatch):
     y_ext = blk(x)  # external roll2d fallback
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ext),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("C,H", [(96, 64), (32, 16), (180, 8)])
+def test_fused_dual_upsample4_matches_xla(C, H):
+    """Fused x4 dual-upsample head (kernels/upsample.py) vs the XLA path
+    (models/layers.py::DualUpsample) — covers the strip-halo bilinear,
+    the per-subpixel expand projections, and the VMEM interleave.
+    Reference semantics: model/SUNet_detail.py:353-363."""
+    from sunet_tf_tpu.models.layers import DualUpsample
+
+    m = DualUpsample(C, 4, backend="pallas", rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.key(1), (2, H, H, C), jnp.float32)
+    a = jax.jit(lambda x: m(x, fused=False))(x)
+    b = jax.jit(lambda x: m(x, fused=True))(x)
+    assert b.shape == (2, 4 * H, 4 * H, C)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+    # bf16 path stays within bf16 activation resolution
+    xb = x.astype(jnp.bfloat16)
+    ab = jax.jit(lambda x: m(x, fused=False))(xb).astype(jnp.float32)
+    bb = jax.jit(lambda x: m(x, fused=True))(xb).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(ab), np.asarray(bb),
+                               rtol=0.02, atol=0.02)
+
+
+def test_fused_dual_upsample4_train_path_unfused():
+    """The train path (key is not None) must NOT route through the fused
+    head (no VJP): grad through the full tiny model succeeds and the
+    eval path equals the XLA path."""
+    from sunet_tf_tpu.config import tiny_config
+    from sunet_tf_tpu.models.sunet import build_model
+
+    cfg = tiny_config()
+    cfg = cfg.replace(tpu=cfg.tpu.__class__(compute_dtype="float32",
+                                            attention_backend="pallas"))
+    model = build_model(cfg, seed=0)
+    graphdef, params = nnx.split(model, nnx.Param)
+    x = jax.random.uniform(jax.random.key(0), (1, 64, 64, 3), jnp.float32)
+
+    def loss(p):
+        y = nnx.merge(graphdef, p)(x, key=jax.random.key(1))
+        return jnp.mean(y * y)
+
+    g = jax.jit(jax.grad(loss))(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
