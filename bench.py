@@ -61,7 +61,12 @@ def _forward_chain(graphdef, params, x, n1=4, n2=16, reps=3):
     def chain(p, x, n_iters):
         def body(_, x):
             y = nnx.merge(graphdef, p)(x)
-            return x * 0.999 + 0.001 * jnp.mean(y)
+            # Scalar coupling serializes iterations without letting XLA
+            # dead-code-eliminate the model. Reduce the lane dim (3
+            # channels) FIRST: a direct mean over (B, H, W, 3) runs the
+            # big reduction at 3/128 lane occupancy and was costing
+            # 1.7 ms/iter (3.9%) of pure measurement artifact.
+            return x * 0.999 + 0.001 * jnp.mean(jnp.sum(y, axis=-1))
 
         return jnp.sum(jax.lax.fori_loop(0, n_iters, body, x))
 
@@ -204,7 +209,10 @@ def bench_tiled():
         def body(_, im):
             out = tiled_inference(model_fn, im, p, kernel=256,
                                   stride=128, tile_batch=64)
-            return im * 0.999 + 0.001 * jnp.mean(out)
+            # Lane-dim-first reduction: see _forward_chain — a direct
+            # mean over (1, 1024, 1024, 3) runs at 3/128 lane occupancy
+            # (~27 ms/img of measurement artifact at this size).
+            return im * 0.999 + 0.001 * jnp.mean(jnp.sum(out, axis=-1))
 
         return jnp.sum(jax.lax.fori_loop(0, n_iters, body, img))
 

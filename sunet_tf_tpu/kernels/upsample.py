@@ -120,12 +120,21 @@ def _up4_tmp_bytes(Hs: int, W: int, C: int) -> int:
     return 16 * Hs * W * _pad128(C) * 16
 
 
-def _up4_strips(H: int, W: int, C: int) -> int:
-    """Input rows per program: bound peak temporaries within a modest VMEM
-    window (small strips pipeline better and keep the scoped request from
-    constraining XLA's scheduling of surrounding ops)."""
+def _up4_strips(H: int, W: int, C: int, small: bool = False) -> int:
+    """Input rows per program: bound peak temporaries within the VMEM
+    window. small=False (inference modules): 18MB target — the stage-0
+    S=1 block kernels already hold ~21-30MB scoped windows there, so a
+    22MB request changes nothing. small=True (TRAIN modules): stay under
+    the DEFAULT 16MB scoped window. Measured v5e b16 train: kernels
+    requesting ~22MB windows slowed the REST of the step by ~18 ms
+    (86 -> 104 ms/step) while their own traced time was unchanged — an
+    enlarged scoped window degrades unprofiled steady-state execution of
+    the surrounding module (same mechanism as the uniform
+    SUNET_VMEM_LIMIT_KIB=32768 probe: 77 -> 89 ms/step with NO kernel
+    change)."""
+    cap = (8 if small else 18) * 1024 * 1024
     S = 1
-    while H % (S * 2) == 0 and _up4_tmp_bytes(H // S, W, C) > 18 * 1024 * 1024:
+    while H % (S * 2) == 0 and _up4_tmp_bytes(H // S, W, C) > cap:
         S *= 2
     return S
 
@@ -140,6 +149,7 @@ def fused_dual_upsample4(
     wpf: jnp.ndarray,
     wbf: jnp.ndarray,
     *,
+    train: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused x4 dual up-sample head.
@@ -153,7 +163,7 @@ def fused_dual_upsample4(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, H, W, C = x.shape
-    S = _up4_strips(H, W, C)
+    S = _up4_strips(H, W, C, small=train)
     Hs = H // S
     # (C, 16C) -> (16, C, C): per-subpixel projection s = i*4+j
     wexp_s = w_exp.reshape(C, C, 16).transpose(2, 0, 1)
@@ -196,3 +206,236 @@ def fused_dual_upsample4(
         ),
     )(x, x, x, wexp_s.astype(x.dtype), w_b1.astype(x.dtype),
       f32row(b_b1, C), wpf.astype(x.dtype), wbf.astype(x.dtype), alphas)
+
+
+# ---------------------------------------------------------------------------
+# Trainable head: ONE custom-VJP for the whole x4 dual up-sample. Forward =
+# fused_dual_upsample4; backward is a single kernel that recomputes the
+# low-res intermediates in VMEM and accumulates fp32 weight grads across
+# the sequential grid (same idiom as the Swin block backward). The XLA
+# backward of this head pays the same shuffle/resize relayout copies as
+# the XLA forward did — in BOTH the dP un-shuffle and the resize adjoint —
+# so the fused backward removes them twice over.
+#
+# Resize adjoint (transpose of the half-pixel x4 stencil, per axis):
+#   dX[i] = .625 D0[i] + .875 D1[i] + .875 D2[i] + .625 D3[i]
+#         + .375 D0[i+1] + .125 D1[i+1] + .125 D2[i-1] + .375 D3[i-1]
+#   edges: i=0 adds .375 D0[0] + .125 D1[0] (clamped top tap);
+#          i=n-1 adds .125 D2[n-1] + .375 D3[n-1] (clamped bottom tap),
+# where D_p[i] = d(out)[4i+p]. The H-axis needs one phase-row of halo on
+# each side: delivered as two 4-row edge blocks of dout with clamped
+# index maps, zeroed in-kernel at the image boundary.
+# ---------------------------------------------------------------------------
+
+
+def _stencil_adjoint_w(do: jnp.ndarray) -> jnp.ndarray:
+    """W-axis adjoint: (R, 4W, C) fp32 -> (R, W, C) fp32."""
+    R, W4, C = do.shape
+    W = W4 // 4
+    E = do.reshape(R, W, 4, C).transpose(2, 0, 1, 3)  # (4, R, W, C)
+    core = (0.625 * E[0] + 0.875 * E[1] + 0.875 * E[2] + 0.625 * E[3])
+    plus = 0.375 * E[0] + 0.125 * E[1]    # taken at [j+1], j=0 clamps
+    minus = 0.125 * E[2] + 0.375 * E[3]   # taken at [j-1], j=W-1 clamps
+    sl = jnp.concatenate([plus[:, 1:2] + plus[:, 0:1], plus[:, 2:],
+                          jnp.zeros_like(plus[:, :1])], axis=1)
+    sr = jnp.concatenate([jnp.zeros_like(minus[:, :1]), minus[:, :W - 2],
+                          minus[:, W - 2:W - 1] + minus[:, W - 1:]], axis=1)
+    return core + sl + sr
+
+
+def _up4_bwd_kernel(xc_ref, dop_ref, doc_ref, don_ref, wexp_ref, wexpT_ref,
+                    wb1_ref, wb1T_ref, bb1_ref, wpfT_ref, wbfT_ref,
+                    alpha_ref, dx_ref, dwexp_ref, dwb1_ref, dbb1_ref,
+                    dwpf_ref, dwbf_ref, dap_ref, dab_ref, *, S: int):
+    _, Hs, W, C = xc_ref.shape
+    f32 = jnp.float32
+    dt = xc_ref.dtype
+    T = Hs * W
+    ap = alpha_ref[0, 0]
+    ab = alpha_ref[0, 1]
+    g = pl.program_id(1)
+    first = jnp.logical_and(pl.program_id(0) == 0, g == 0)
+
+    @pl.when(first)
+    def _init():
+        for r in (dwexp_ref, dwb1_ref, dbb1_ref, dwpf_ref, dwbf_ref,
+                  dap_ref, dab_ref):
+            r[...] = jnp.zeros_like(r)
+
+    xc = xc_ref[0]
+    t = xc.reshape(T, C)
+    doc = doc_ref[0]                       # (4Hs, 4W, C)
+    docf = doc.astype(f32).reshape(16 * T, C)
+    doc_b = doc.astype(dt).reshape(16 * T, C)
+
+    # ---- PixelShuffle branch backward
+    # recompute z_s / P (same as forward)
+    zs, ys = [], []
+    for s in range(16):
+        z = jnp.dot(t, wexp_ref[s], preferred_element_type=f32)
+        zs.append(z)
+        ys.append(_prelu(z, ap).astype(dt).reshape(1, 1, Hs, W, C))
+    grid5 = jnp.concatenate(
+        [jnp.concatenate(ys[i * 4:(i + 1) * 4], axis=1) for i in range(4)],
+        axis=0)
+    P = grid5.transpose(2, 0, 3, 1, 4).reshape(16 * T, C)
+    dwpf_ref[...] += jnp.dot(P.T, doc_b, preferred_element_type=f32)
+    dP = jnp.dot(doc_b, wpfT_ref[...], preferred_element_type=f32)
+    # de-interleave: (4Hs, 4W, C) -> (4i, 4j, Hs, W, C)
+    dP5 = (dP.reshape(4 * Hs, 4 * W, C).astype(dt)
+           .reshape(Hs, 4, W, 4, C).transpose(1, 3, 0, 2, 4))
+    dx = jnp.zeros((T, C), f32)
+    dapc = jnp.zeros((1, C), f32)
+    for s in range(16):
+        da = dP5[s // 4, s % 4].reshape(T, C).astype(f32)
+        z = zs[s]
+        dz = jnp.where(z > 0, da, ap * da)
+        dapc += jnp.sum(jnp.minimum(z, 0.0) * da, axis=0, keepdims=True)
+        dzb16 = dz.astype(dt)
+        dwexp_ref[s] += jnp.dot(t.T, dzb16, preferred_element_type=f32)
+        dx += jnp.dot(dzb16, wexpT_ref[s], preferred_element_type=f32)
+    dap_ref[...] += dapc
+
+    # ---- bilinear branch backward
+    # W-axis adjoint over the halo'd rows, then the H-axis adjoint.
+    do_h = jnp.concatenate([dop_ref[0], doc, don_ref[0]],
+                           axis=0).astype(f32)        # (4Hs+8, 4W, C)
+    dyh = _stencil_adjoint_w(do_h)                     # (4Hs+8, W, C)
+    D = dyh.reshape(Hs + 2, 4, W, C)                   # [i-(r0-1), phase]
+    D0, D1, D2, D3 = D[:, 0], D[:, 1], D[:, 2], D[:, 3]
+    coreH = (0.625 * D0[1:Hs + 1] + 0.875 * D1[1:Hs + 1]
+             + 0.875 * D2[1:Hs + 1] + 0.625 * D3[1:Hs + 1])
+    plusH = 0.375 * D0 + 0.125 * D1
+    minusH = 0.125 * D2 + 0.375 * D3
+    topv = jnp.where(g == 0, 0.0, 1.0)
+    botv = jnp.where(g == S - 1, 0.0, 1.0)
+    dxb = (coreH
+           + jnp.concatenate([plusH[2:Hs + 1],
+                              plusH[Hs + 1:Hs + 2] * botv], axis=0)
+           + jnp.concatenate([minusH[0:1] * topv, minusH[1:Hs]], axis=0))
+    edge_top = (1.0 - topv) * (0.375 * D0[1] + 0.125 * D1[1])
+    edge_bot = (1.0 - botv) * (0.125 * D2[Hs] + 0.375 * D3[Hs])
+    dxb = jnp.concatenate([dxb[0:1] + edge_top[None], dxb[1:]], axis=0)
+    dxb = jnp.concatenate([dxb[:Hs - 1], dxb[Hs - 1:] + edge_bot[None]],
+                          axis=0).reshape(T, C)
+    # chain through the folded mix, PReLU, and the 1x1 conv
+    zb = jnp.dot(t, wb1_ref[...], preferred_element_type=f32) + bb1_ref[0]
+    abv = _prelu(zb, ab).astype(dt)
+    dxb_b = dxb.astype(dt)
+    dwbf_ref[...] += jnp.dot(abv.T, dxb_b, preferred_element_type=f32)
+    dab_mat = jnp.dot(dxb_b, wbfT_ref[...], preferred_element_type=f32)
+    dzb = jnp.where(zb > 0, dab_mat, ab * dab_mat)
+    dab_ref[...] += jnp.sum(jnp.minimum(zb, 0.0) * dab_mat, axis=0,
+                            keepdims=True)
+    dzb_b = dzb.astype(dt)
+    dwb1_ref[...] += jnp.dot(t.T, dzb_b, preferred_element_type=f32)
+    dbb1_ref[...] += jnp.sum(dzb, axis=0, keepdims=True)
+    dx += jnp.dot(dzb_b, wb1T_ref[...], preferred_element_type=f32)
+
+    dx_ref[0] = dx.reshape(Hs, W, C).astype(dx_ref.dtype)
+
+
+def _up4_bwd_impl(x, w_exp, alpha_p, w_b1, b_b1, alpha_b, wpf, wbf, dout,
+                  interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, W, C = x.shape
+    # small-window strips (see _up4_strips): backward live set is ~2x the
+    # forward's, which lands the request at ~the default 16MB window
+    S = _up4_strips(H, W, C, small=True)
+    Hs = H // S
+    wexp_s = w_exp.reshape(C, C, 16).transpose(2, 0, 1)
+    wexpT_s = wexp_s.transpose(0, 2, 1)
+    alphas = jnp.stack([alpha_p.reshape(()), alpha_b.reshape(())]
+                       ).astype(jnp.float32).reshape(1, 2)
+    cast = lambda a: a.astype(x.dtype)
+    full = lambda *shape: pl.BlockSpec(shape, lambda bb, g: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    kernel = functools.partial(_up4_bwd_kernel, S=S)
+    dob = dout.astype(x.dtype)
+    # 4-row edge blocks of dout: previous strip's last phase-row and the
+    # next strip's first (content zeroed in-kernel at the image edge)
+    edge = lambda fn: pl.BlockSpec(
+        (1, 4, 4 * W, C), lambda bb, g: (bb, fn(g), 0, 0),
+        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, S),
+        in_specs=[
+            pl.BlockSpec((1, Hs, W, C), lambda bb, g: (bb, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            edge(lambda g: jnp.maximum(g * Hs - 1, 0)),
+            pl.BlockSpec((1, 4 * Hs, 4 * W, C),
+                         lambda bb, g: (bb, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            edge(lambda g: jnp.minimum((g + 1) * Hs, H - 1)),
+            full(16, C, C), full(16, C, C),
+            full(C, C), full(C, C), full(1, C),
+            full(C, C), full(C, C),
+            pl.BlockSpec((1, 2), lambda bb, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hs, W, C), lambda bb, g: (bb, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(16, C, C), full(C, C), full(1, C),
+            full(C, C), full(C, C), full(1, C), full(1, C),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((16, C, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(
+            (Hs + 2 * 4 + 2 * 4 * Hs + 16 * Hs) * W * C * x.dtype.itemsize
+            + 2 * 16 * C * C * (x.dtype.itemsize + 4),
+            tmp_bytes=2 * _up4_tmp_bytes(Hs, W, C)),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * H * W * C * C * 20,
+            bytes_accessed=2 * 16 * B * H * W * C * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, dob, dob, dob, cast(wexp_s), cast(wexpT_s), cast(w_b1),
+      cast(w_b1.T), b_b1.astype(jnp.float32).reshape(1, C), cast(wpf.T),
+      cast(wbf.T), alphas)
+    dx, dwexp, dwb1, dbb1, dwpf, dwbf, dapc, dabc = outs
+    # (16, C, C) per-subpixel grads -> (C, 16C) expand layout
+    dw_exp = dwexp.transpose(1, 2, 0).reshape(C, 16 * C)
+    return (dx, dw_exp.astype(w_exp.dtype),
+            jnp.sum(dapc).reshape(alpha_p.shape).astype(alpha_p.dtype),
+            dwb1.astype(w_b1.dtype),
+            dbb1.reshape(b_b1.shape).astype(b_b1.dtype),
+            jnp.sum(dabc).reshape(alpha_b.shape).astype(alpha_b.dtype),
+            dwpf.astype(wpf.dtype), dwbf.astype(wbf.dtype))
+
+
+@jax.custom_vjp
+def dual_upsample4_trainable(x, w_exp, alpha_p, w_b1, b_b1, alpha_b,
+                             wpf, wbf):
+    """Differentiable fused x4 dual up-sample (Pallas fwd AND bwd).
+
+    Same math as fused_dual_upsample4 (reference model/SUNet_detail.py:
+    353-363 with the folded projections); the VJP runs the single-kernel
+    backward above."""
+    return fused_dual_upsample4(x, w_exp, alpha_p, w_b1, b_b1, alpha_b,
+                                wpf, wbf)
+
+
+def _up4_fwd(x, w_exp, alpha_p, w_b1, b_b1, alpha_b, wpf, wbf):
+    # under differentiation (training module): small-window strips
+    out = fused_dual_upsample4(x, w_exp, alpha_p, w_b1, b_b1, alpha_b,
+                               wpf, wbf, train=True)
+    return out, (x, w_exp, alpha_p, w_b1, b_b1, alpha_b, wpf, wbf)
+
+
+def _up4_bwd(res, dout):
+    return _up4_bwd_impl(*res, dout)
+
+
+dual_upsample4_trainable.defvjp(_up4_fwd, _up4_bwd)

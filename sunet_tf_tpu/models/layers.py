@@ -555,13 +555,22 @@ class DualUpsample(nnx.Module):
         wb = self.mix.lin.kernel[...][out_ch:]
         wpf = self.up_p_conv2.lin.kernel[...] @ wp
         wbf = self.up_b_conv2.lin.kernel[...] @ wb
-        if r == 4 and fused and self.backend == "pallas":
-            # Whole head in one Pallas kernel (inference path): kills the
-            # expand/shuffle/resize HBM relayout copies — see
-            # kernels/upsample.py. Gated out under training (no VJP).
-            from sunet_tf_tpu.kernels.upsample import fused_dual_upsample4
+        import os as _os
 
-            return fused_dual_upsample4(
+        if (r == 4 and fused and self.backend == "pallas"
+                and _os.environ.get("SUNET_UP4_FUSED", "1") != "0"):
+            # Whole head in one Pallas kernel: kills the expand/shuffle/
+            # resize HBM relayout copies in BOTH directions — custom-VJP
+            # backward is a single kernel too (kernels/upsample.py).
+            # Inference default (+14% headline). The TRAIN path defaults
+            # to the XLA head (fused=False from SUNet.__call__): measured
+            # v5e b16 153.9 vs 185.8 img/s fused-vs-XLA even after
+            # shrinking the scoped-VMEM windows under 16 MB — same
+            # bwd-is-VMEM-tight steady-state degradation as
+            # SUNET_TRAIN_ROLL_FUSE. Opt in with SUNET_UP4_FUSED_TRAIN=1.
+            from sunet_tf_tpu.kernels.upsample import dual_upsample4_trainable
+
+            return dual_upsample4_trainable(
                 x, self.up_p_conv1.lin.kernel[...], self.up_p_act.alpha[...],
                 self.up_b_conv1.lin.kernel[...], self.up_b_conv1.lin.bias[...],
                 self.up_b_act.alpha[...], wpf, wbf)

@@ -30,6 +30,7 @@ Kept quirks (for parity):
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -231,7 +232,10 @@ class SUNet(nnx.Module):
             feats = c(layer_up(feats, None if key is None else jax.random.fold_in(key, 100 + j)))
         feats = self.norm_up(feats).astype(x.dtype)
 
-        feats = c(self.up_final(feats, fused=key is None))
+        # Fused up4 head: inference default; train opt-in only (measured
+        # regression — see DualUpsample.__call__ / kernels/upsample.py).
+        up4_train = os.environ.get("SUNET_UP4_FUSED_TRAIN", "0") == "1"
+        feats = c(self.up_final(feats, fused=key is None or up4_train))
         out = self.output(feats)
         return out.astype(jnp.float32)
 

@@ -207,13 +207,39 @@ def test_fused_dual_upsample4_matches_xla(C, H):
                                rtol=0.02, atol=0.02)
 
 
-def test_fused_dual_upsample4_train_path_unfused():
-    """The train path (key is not None) must NOT route through the fused
-    head (no VJP): grad through the full tiny model succeeds and the
-    eval path equals the XLA path."""
+def test_fused_dual_upsample4_grads_match_xla():
+    """The custom-VJP backward kernel (de-interleave, stencil adjoint with
+    clamped edges, accumulated weight grads) must match jax.grad of the
+    XLA path for x AND every weight, on a multi-strip geometry (halo'd
+    edge blocks exercised)."""
+    from sunet_tf_tpu.models.layers import DualUpsample
+
+    C, H = 32, 16
+    m = DualUpsample(C, 4, backend="pallas", rngs=nnx.Rngs(0))
+    gd, params = nnx.split(m, nnx.Param)
+    x = jax.random.normal(jax.random.key(1), (2, H, H, C), jnp.float32)
+    tgt = jax.random.normal(jax.random.key(2), (2, 4 * H, 4 * H, C))
+
+    def loss(p, x, fused):
+        return jnp.sum(nnx.merge(gd, p)(x, fused=fused) * tgt)
+
+    gk = jax.jit(jax.grad(loss, argnums=(0, 1)),
+                 static_argnums=(2,))(params, x, True)
+    gx = jax.jit(jax.grad(loss, argnums=(0, 1)),
+                 static_argnums=(2,))(params, x, False)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_dual_upsample4_full_model_grad(monkeypatch):
+    """Grad through the full tiny model with the pallas backend and the
+    fused-head train opt-in (SUNET_UP4_FUSED_TRAIN=1 routes the custom
+    VJP) stays finite."""
     from sunet_tf_tpu.config import tiny_config
     from sunet_tf_tpu.models.sunet import build_model
 
+    monkeypatch.setenv("SUNET_UP4_FUSED_TRAIN", "1")
     cfg = tiny_config()
     cfg = cfg.replace(tpu=cfg.tpu.__class__(compute_dtype="float32",
                                             attention_backend="pallas"))
