@@ -130,12 +130,23 @@ def bench_headline():
 
 def bench_train(batch=None):
     """BASELINE config #4: full denoise train step (on-device AWGN + aug,
-    Charbonnier, backward, Adam) — the reference hot loop train.py:320-344."""
+    Charbonnier, backward, Adam) — the reference hot loop train.py:320-344.
+
+    Chains K whole train steps inside ONE jit (fori_loop with a DYNAMIC
+    trip count — one compile) and differences two K values. The previous
+    per-step python loop measured 71.6 ms/step where the device module
+    actually runs 107.9 ms (xprof): block_until_ready is lazy through the
+    remote-execution tunnel, so per-step dispatch timing UNDER-counts and
+    inflated train numbers by ~40% (also the source of the phantom
+    "batch-32 regression": chained + profiled timing both show b32 at
+    parity-or-better per image)."""
+    import functools as _ft
+
     import jax
     import jax.numpy as jnp
 
     from sunet_tf_tpu.config import Config
-    from sunet_tf_tpu.train.loop import build_steps, jit_steps, make_optimizer
+    from sunet_tf_tpu.train.loop import build_steps, make_optimizer
 
     batch = batch or int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
     results = {}
@@ -146,34 +157,42 @@ def bench_train(batch=None):
         cfg, model, graphdef, params = _build(base, backend)
         tx = make_optimizer(cfg, steps_per_epoch=100)
         opt_state = tx.init(params)
-        fns = jit_steps(build_steps(cfg, graphdef, tx, task="denoise",
-                                    sigma=50.0), mesh=None, donate=True)
+        fns = build_steps(cfg, graphdef, tx, task="denoise", sigma=50.0)
         rngb = np.random.default_rng(0)
-        # Device-resident batch: through the remote-execution tunnel a
-        # per-step H2D of 6MB costs ~95ms and would mask the compute
-        # difference entirely (the real Trainer overlaps H2D with compute
-        # via Prefetcher(put=shard_batch), so steady-state training sees
-        # the compute number, not compute+transfer).
+        # Device-resident batch: the real Trainer overlaps H2D with
+        # compute via Prefetcher(put=shard_batch), so steady-state
+        # training sees the compute number, not compute+transfer.
         b = {"input": jnp.asarray(rngb.integers(
                  0, 255, (batch, 256, 256, 3), dtype=np.uint8)),
              "target": jnp.asarray(rngb.integers(
                  0, 255, (batch, 256, 256, 3), dtype=np.uint8))}
-        state = [params, opt_state, fns.init_metrics()]
         rng = jax.random.key(0)
 
-        def run(k):
-            t0 = time.perf_counter()
-            for i in range(k):
-                state[0], state[1], scalars, state[2] = fns.train_step(
-                    state[0], state[1], b, rng, jnp.uint32(i), state[2])
-            float(scalars["loss"])
-            jax.block_until_ready(state[0])
-            return time.perf_counter() - t0
+        @_ft.partial(jax.jit, donate_argnums=(0, 1))
+        def chain(params, opt_state, b, k):
+            def body(i, carry):
+                p, o = carry
+                p, o, _, _ = fns.train_step(p, o, b, rng,
+                                            i.astype(jnp.uint32), {})
+                return (p, o)
 
-        run(2)
-        t4 = run(4)
-        t12 = run(12)
-        dt = (t12 - t4) / 8
+            return jax.lax.fori_loop(0, k, body, (params, opt_state))
+
+        state = [params, opt_state]
+
+        def timed(k, reps):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                state[0], state[1] = chain(state[0], state[1], b,
+                                           jnp.int32(k))
+                jax.block_until_ready(state[0])
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        timed(2, 1)
+        timed(8, 1)
+        dt = (timed(8, 3) - timed(2, 3)) / 6
         results[backend] = batch / dt
         print(f"# train {backend} batch {batch}: {batch/dt:.1f} img/s "
               f"({dt*1e3:.1f} ms/step)", file=sys.stderr)

@@ -36,6 +36,7 @@ hardware numerics gate covers the compiled Mosaic lowering.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Optional
 
 import jax
@@ -122,16 +123,19 @@ def _up4_tmp_bytes(Hs: int, W: int, C: int) -> int:
 
 def _up4_strips(H: int, W: int, C: int, small: bool = False) -> int:
     """Input rows per program: bound peak temporaries within the VMEM
-    window. small=False (inference modules): 18MB target — the stage-0
-    S=1 block kernels already hold ~21-30MB scoped windows there, so a
-    22MB request changes nothing. small=True (TRAIN modules): stay under
-    the DEFAULT 16MB scoped window. Measured v5e b16 train: kernels
-    requesting ~22MB windows slowed the REST of the step by ~18 ms
-    (86 -> 104 ms/step) while their own traced time was unchanged — an
-    enlarged scoped window degrades unprofiled steady-state execution of
-    the surrounding module (same mechanism as the uniform
-    SUNET_VMEM_LIMIT_KIB=32768 probe: 77 -> 89 ms/step with NO kernel
-    change)."""
+    window. Default: 18MB target — the stage-0
+    S=1 block kernels already hold ~21-30MB scoped windows, so a 22MB
+    request changes nothing, and chained single-jit A/B on v5e b16
+    measured the large strips FASTER in TRAINING too (102.5 vs 104.0
+    ms/step with the whole fwd+bwd head fused; the per-step-dispatch
+    measurement that once blamed >16MB windows for a train slowdown
+    under-counted device time through the remote tunnel — see
+    bench.bench_train). small=True caps at 8MB to stay under the
+    default 16MB scoped window — an escape hatch, reachable via
+    SUNET_UP4_SMALL=1 (SUNET_UP4_SMALL=0 forces large strips)."""
+    env = _os.environ.get("SUNET_UP4_SMALL")
+    if env is not None:
+        small = env == "1"
     cap = (8 if small else 18) * 1024 * 1024
     S = 1
     while H % (S * 2) == 0 and _up4_tmp_bytes(H // S, W, C) > cap:
@@ -340,9 +344,7 @@ def _up4_bwd_impl(x, w_exp, alpha_p, w_b1, b_b1, alpha_b, wpf, wbf, dout,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, H, W, C = x.shape
-    # small-window strips (see _up4_strips): backward live set is ~2x the
-    # forward's, which lands the request at ~the default 16MB window
-    S = _up4_strips(H, W, C, small=True)
+    S = _up4_strips(H, W, C)
     Hs = H // S
     wexp_s = w_exp.reshape(C, C, 16).transpose(2, 0, 1)
     wexpT_s = wexp_s.transpose(0, 2, 1)
@@ -428,9 +430,8 @@ def dual_upsample4_trainable(x, w_exp, alpha_p, w_b1, b_b1, alpha_b,
 
 
 def _up4_fwd(x, w_exp, alpha_p, w_b1, b_b1, alpha_b, wpf, wbf):
-    # under differentiation (training module): small-window strips
     out = fused_dual_upsample4(x, w_exp, alpha_p, w_b1, b_b1, alpha_b,
-                               wpf, wbf, train=True)
+                               wpf, wbf)
     return out, (x, w_exp, alpha_p, w_b1, b_b1, alpha_b, wpf, wbf)
 
 

@@ -562,12 +562,13 @@ class DualUpsample(nnx.Module):
             # Whole head in one Pallas kernel: kills the expand/shuffle/
             # resize HBM relayout copies in BOTH directions — custom-VJP
             # backward is a single kernel too (kernels/upsample.py).
-            # Inference default (+14% headline). The TRAIN path defaults
-            # to the XLA head (fused=False from SUNet.__call__): measured
-            # v5e b16 153.9 vs 185.8 img/s fused-vs-XLA even after
-            # shrinking the scoped-VMEM windows under 16 MB — same
-            # bwd-is-VMEM-tight steady-state degradation as
-            # SUNET_TRAIN_ROLL_FUSE. Opt in with SUNET_UP4_FUSED_TRAIN=1.
+            # Default in BOTH modes: +14% inference headline; train 104.0
+            # vs 107.9 ms/step (b16, v5e) under the chained single-jit
+            # harness (per-step host timing through the remote tunnel
+            # once suggested the opposite — it under-counts device time;
+            # see bench.bench_train). SUNET_UP4_FUSED_TRAIN=0 opts the
+            # training path out; small=True strips keep the train-path
+            # scoped-VMEM windows under the 16 MB default.
             from sunet_tf_tpu.kernels.upsample import dual_upsample4_trainable
 
             return dual_upsample4_trainable(

@@ -232,9 +232,13 @@ class SUNet(nnx.Module):
             feats = c(layer_up(feats, None if key is None else jax.random.fold_in(key, 100 + j)))
         feats = self.norm_up(feats).astype(x.dtype)
 
-        # Fused up4 head: inference default; train opt-in only (measured
-        # regression — see DualUpsample.__call__ / kernels/upsample.py).
-        up4_train = os.environ.get("SUNET_UP4_FUSED_TRAIN", "0") == "1"
+        # Fused up4 head by default in BOTH modes: +14% inference; train
+        # 104.0 vs 107.9 ms/step b16 under the chained (single-jit)
+        # harness — the per-step-dispatch harness that once suggested a
+        # train regression under-counts device time through the remote
+        # tunnel (see bench.bench_train). SUNET_UP4_FUSED_TRAIN=0 opts
+        # the training path out.
+        up4_train = os.environ.get("SUNET_UP4_FUSED_TRAIN", "1") == "1"
         feats = c(self.up_final(feats, fused=key is None or up4_train))
         out = self.output(feats)
         return out.astype(jnp.float32)
