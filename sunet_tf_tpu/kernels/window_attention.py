@@ -500,13 +500,62 @@ def _gelu(x: jnp.ndarray, out_dtype) -> jnp.ndarray:
     return _gelu_exact(x)
 
 
-def _ln(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
-        eps: float = 1e-5) -> jnp.ndarray:
+def _ln_vpu(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
+            eps: float = 1e-5) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     xc = xf - mu
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
     return xc * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _ln_mxu(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
+            eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm whose lane reductions ride the MXU instead of the VPU.
+
+    jnp.mean(axis=-1) lowers to a cross-lane tree-reduce plus a broadcast
+    on the VPU — two of those per LN cost 0.367 ms of the 1.44 ms isolated
+    stage-0 block (ablation 2026-08-18). A matmul against an all-ones
+    (C, C) matrix computes the SAME row sum with the lane broadcast for
+    free, in one MXU pass that is noise at these shapes (~151 MFLOP for a
+    64x64x96 strip).
+
+    Precision: the mean dot takes the bf16 activations directly — the MXU
+    accumulates in fp32, so the sum is exact over the already-bf16 inputs.
+    The variance dot sums fp32 squares; a bf16 cast there would put ~2^-8
+    relative error on the scale, so the squares are split into hi+lo bf16
+    halves lane-concatenated into one (M, 2C) @ (2C, C) dot, keeping the
+    summed relative error ~2^-16 (double-bf16 trick). Parity with _ln_vpu
+    is gated in tests/test_pallas.py.
+    """
+    if x.dtype != jnp.bfloat16:
+        return _ln_vpu(x, g, b, eps)
+    f32 = jnp.float32
+    C = x.shape[-1]
+    cd = (((x.ndim - 1,), (0,)), ((), ()))
+    s = jax.lax.dot_general(x, jnp.ones((C, C), x.dtype), cd,
+                            preferred_element_type=f32)
+    xc = x.astype(f32) - s * (1.0 / C)
+    p = xc * xc
+    p_hi = p.astype(jnp.bfloat16)
+    p_lo = (p - p_hi.astype(f32)).astype(jnp.bfloat16)
+    v = jax.lax.dot_general(jnp.concatenate([p_hi, p_lo], axis=-1),
+                            jnp.ones((2 * C, C), jnp.bfloat16), cd,
+                            preferred_element_type=f32) * (1.0 / C)
+    return xc * jax.lax.rsqrt(v + eps) * g + b
+
+
+def _ln_mode() -> str:
+    import os as _os
+
+    return _os.environ.get("SUNET_LN", "mxu")
+
+
+def _ln(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
+        eps: float = 1e-5) -> jnp.ndarray:
+    if _ln_mode() == "mxu":
+        return _ln_mxu(x, g, b, eps)
+    return _ln_vpu(x, g, b, eps)
 
 
 def _softmax_mode() -> str:
