@@ -256,12 +256,7 @@ def _strip_bwd_kernel(x_ref, dout_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
 
     # ---- forward recompute (fp32 LN, bf16 matmul inputs)
     x = x_ref[0]
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(var + eps)
-    xhat = xc * inv                           # (ws, W, C) fp32
+    xhat, inv = _ln_stats(x, eps, bwd=True)    # (ws, W, C) fp32
     u = (xhat * g_ref[0] + b_ref[0]).astype(x.dtype)
     uw = u.reshape(ws, nw, ws, C).transpose(1, 0, 2, 3).reshape(nw * N, C)
     qkv = (jnp.dot(uw, wqkv_ref[...], preferred_element_type=jnp.float32)
@@ -300,10 +295,7 @@ def _strip_bwd_kernel(x_ref, dout_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
     dg_ref[...] += jnp.sum((du * xhat).reshape(ws * W, C), axis=0,
                            keepdims=True)
     db_ref[...] += jnp.sum(du.reshape(ws * W, C), axis=0, keepdims=True)
-    dxhat = du * g_ref[0]
-    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
-    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    dx = inv * (dxhat - m1 - xhat * m2)
+    dx = _ln_bwd_dx(du * g_ref[0], xhat, inv)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
@@ -487,75 +479,138 @@ def _gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gelu_fast(x: jnp.ndarray) -> jnp.ndarray:
-    """tanh-form GELU: max deviation from exact erf-GELU ~1e-3 absolute —
+    """tanh-form GELU: max deviation from exact erf-GELU 4.7e-4 absolute —
     below bf16 activation resolution (2^-8), and half the VPU passes of
     the A&S erf. Used only when the surrounding compute dtype is bf16."""
     return 0.5 * x * (1.0 + jnp.tanh(0.7978845608028654
                                      * (x + 0.044715 * x * x * x)))
 
 
+# Odd minimax polynomial (Lawson-iterated lsq) for Phi(x)-0.5 on [0, 4.5]:
+# max |GELU err| 1.52e-4 — 3x tighter than the tanh form — in 7 FMAs of
+# x^2 with NO transcendental (Mosaic lowers tanh/exp to multi-pass VPU
+# sequences; this is the single biggest VPU cost in the fused MLP).
+_GELU_POLY = (3.981362924533e-01, -6.500491242561e-02, 9.025301754638e-03,
+              -8.844774146877e-04, 5.842921399509e-05, -2.449747711972e-06,
+              5.840042427592e-08, -5.997206613528e-10)
+
+
+def _gelu_poly(x: jnp.ndarray) -> jnp.ndarray:
+    """Polynomial GELU: x * clip(0.5 + xa*p(xa^2), 0, 1), xa = clip(x, ±4.5).
+    Outside ±4.5 the clamp pins Phi to {0,1} (true GELU deviates ≤1.5e-5
+    there); inside, max abs deviation from exact erf-GELU is 1.52e-4."""
+    xa = jnp.clip(x, -4.5, 4.5)
+    t = xa * xa
+    p = jnp.float32(_GELU_POLY[-1])
+    for c in _GELU_POLY[-2::-1]:
+        p = p * t + c
+    phi = jnp.clip(0.5 + xa * p, 0.0, 1.0)
+    return x * phi
+
+
+def _gelu_mode() -> str:
+    import os as _os
+
+    return _os.environ.get("SUNET_GELU", "tanh")
+
+
 def _gelu(x: jnp.ndarray, out_dtype) -> jnp.ndarray:
     if out_dtype == jnp.bfloat16:
-        return _gelu_fast(x)
+        mode = _gelu_mode()
+        if mode == "poly":
+            return _gelu_poly(x)
+        if mode == "tanh":
+            return _gelu_fast(x)
     return _gelu_exact(x)
 
 
-def _ln_vpu(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
-            eps: float = 1e-5) -> jnp.ndarray:
+def _lane_mean_f32(p: jnp.ndarray) -> jnp.ndarray:
+    """Lane-broadcast mean over the last axis of an fp32 tensor, computed
+    as an MXU dot against an all-ones matrix instead of a VPU cross-lane
+    tree-reduce + broadcast. The fp32 input is split into hi+lo bf16
+    halves lane-concatenated into one (M, 2C) @ (2C, C) dot (double-bf16
+    trick): the MXU accumulates in fp32, so the summed relative error
+    stays ~2^-16 where a plain bf16 cast would cost ~2^-8."""
+    f32 = jnp.float32
+    C = p.shape[-1]
+    hi = p.astype(jnp.bfloat16)
+    lo = (p - hi.astype(f32)).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        jnp.concatenate([hi, lo], axis=-1), jnp.ones((2 * C, C), jnp.bfloat16),
+        (((p.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=f32) * (1.0 / C)
+
+
+def _ln_stats_mxu(x: jnp.ndarray, eps: float):
+    """(xhat fp32, inv fp32) with both lane reductions on the MXU.
+
+    jnp.mean(axis=-1) lowers to a cross-lane tree-reduce plus a broadcast
+    on the VPU — two of those per LN cost 0.367 ms of the 1.44 ms isolated
+    stage-0 block (ablation 2026-08-18; MXU routing took the isolated
+    W-MSA block 1.365 -> 1.053 ms). A matmul against an all-ones (C, C)
+    matrix computes the SAME row sum with the lane broadcast for free, in
+    one MXU pass that is noise at these shapes (~151 MFLOP for a 64x64x96
+    strip). The mean dot takes the bf16 activations directly — fp32
+    accumulation makes the sum exact over the already-bf16 inputs; the
+    variance mean goes through _lane_mean_f32. Parity with the VPU path
+    is gated in tests/test_pallas.py."""
+    f32 = jnp.float32
+    C = x.shape[-1]
+    s = jax.lax.dot_general(x, jnp.ones((C, C), x.dtype),
+                            (((x.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+    xc = x.astype(f32) - s * (1.0 / C)
+    inv = jax.lax.rsqrt(_lane_mean_f32(xc * xc) + eps)
+    return xc * inv, inv
+
+
+def _ln_mode(bwd: bool = False) -> str:
+    """LN lane-reduction routing. Forward kernels default to the MXU
+    (isolated stage-0 block 1.365 -> 1.053 ms); backward kernels default
+    to the VPU — their MXU is already saturated by the grad matmuls, and
+    MXU routing there measured 106.3 vs 103.2 ms/step (chained harness,
+    b16, 2026-08-18). SUNET_LN / SUNET_LN_BWD override each direction."""
+    import os as _os
+
+    if bwd:
+        return _os.environ.get("SUNET_LN_BWD", "vpu")
+    return _os.environ.get("SUNET_LN", "mxu")
+
+
+def _ln_stats(x: jnp.ndarray, eps: float = 1e-5, bwd: bool = False):
+    """(xhat fp32, inv fp32) for LN over the last axis; reductions ride
+    the MXU when the direction's mode is mxu and x is bf16."""
+    if _ln_mode(bwd) == "mxu" and x.dtype == jnp.bfloat16:
+        return _ln_stats_mxu(x, eps)
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     xc = xf - mu
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    return xc * jax.lax.rsqrt(var + eps) * g + b
-
-
-def _ln_mxu(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
-            eps: float = 1e-5) -> jnp.ndarray:
-    """LayerNorm whose lane reductions ride the MXU instead of the VPU.
-
-    jnp.mean(axis=-1) lowers to a cross-lane tree-reduce plus a broadcast
-    on the VPU — two of those per LN cost 0.367 ms of the 1.44 ms isolated
-    stage-0 block (ablation 2026-08-18). A matmul against an all-ones
-    (C, C) matrix computes the SAME row sum with the lane broadcast for
-    free, in one MXU pass that is noise at these shapes (~151 MFLOP for a
-    64x64x96 strip).
-
-    Precision: the mean dot takes the bf16 activations directly — the MXU
-    accumulates in fp32, so the sum is exact over the already-bf16 inputs.
-    The variance dot sums fp32 squares; a bf16 cast there would put ~2^-8
-    relative error on the scale, so the squares are split into hi+lo bf16
-    halves lane-concatenated into one (M, 2C) @ (2C, C) dot, keeping the
-    summed relative error ~2^-16 (double-bf16 trick). Parity with _ln_vpu
-    is gated in tests/test_pallas.py.
-    """
-    if x.dtype != jnp.bfloat16:
-        return _ln_vpu(x, g, b, eps)
-    f32 = jnp.float32
-    C = x.shape[-1]
-    cd = (((x.ndim - 1,), (0,)), ((), ()))
-    s = jax.lax.dot_general(x, jnp.ones((C, C), x.dtype), cd,
-                            preferred_element_type=f32)
-    xc = x.astype(f32) - s * (1.0 / C)
-    p = xc * xc
-    p_hi = p.astype(jnp.bfloat16)
-    p_lo = (p - p_hi.astype(f32)).astype(jnp.bfloat16)
-    v = jax.lax.dot_general(jnp.concatenate([p_hi, p_lo], axis=-1),
-                            jnp.ones((2 * C, C), jnp.bfloat16), cd,
-                            preferred_element_type=f32) * (1.0 / C)
-    return xc * jax.lax.rsqrt(v + eps) * g + b
-
-
-def _ln_mode() -> str:
-    import os as _os
-
-    return _os.environ.get("SUNET_LN", "mxu")
+    inv = jax.lax.rsqrt(var + eps)
+    return xc * inv, inv
 
 
 def _ln(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray,
         eps: float = 1e-5) -> jnp.ndarray:
-    if _ln_mode() == "mxu":
-        return _ln_mxu(x, g, b, eps)
-    return _ln_vpu(x, g, b, eps)
+    xhat, _ = _ln_stats(x, eps)
+    return xhat * g + b
+
+
+def _ln_bwd_dx(dxhat: jnp.ndarray, xhat: jnp.ndarray,
+               inv: jnp.ndarray) -> jnp.ndarray:
+    """LN input-cotangent term inv*(dxhat - mean(dxhat) - xhat*mean(dxhat
+    *xhat)); the two lane means ride the MXU when SUNET_LN=mxu (callers
+    add any residual cotangent outside). A block-matrix fused single dot
+    is not an option: Pallas rejects captured non-scalar literal
+    constants, and jnp.ones is the only mask shape that lowers as a
+    broadcast rather than a literal."""
+    if _ln_mode(bwd=True) != "mxu":
+        m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+        m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        return inv * (dxhat - m1 - xhat * m2)
+    m1 = _lane_mean_f32(dxhat)
+    m2 = _lane_mean_f32(dxhat * xhat)
+    return inv * (dxhat - m1 - xhat * m2)
 
 
 def _softmax_mode() -> str:
@@ -1172,12 +1227,7 @@ def _mlp_bwd_kernel(y_ref, dout_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
         db2_ref[...] = jnp.zeros_like(db2_ref)
 
     y = y_ref[0]
-    yf = y.astype(jnp.float32)
-    mu = jnp.mean(yf, axis=-1, keepdims=True)
-    yc = yf - mu
-    var = jnp.mean(yc * yc, axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(var + eps)
-    yhat = yc * inv
+    yhat, inv = _ln_stats(y, eps, bwd=True)
     yn = (yhat * g_ref[0] + b_ref[0]).astype(y.dtype)
     yn2 = yn.reshape(Hs * W, C)
     a = jnp.dot(yn2, w1_ref[...], preferred_element_type=jnp.float32) + b1_ref[0]
@@ -1197,10 +1247,7 @@ def _mlp_bwd_kernel(y_ref, dout_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
     dg_ref[...] += jnp.sum((dyn * yhat).reshape(Hs * W, C), axis=0,
                            keepdims=True)
     db_ref[...] += jnp.sum(dyn.reshape(Hs * W, C), axis=0, keepdims=True)
-    dyhat = dyn * g_ref[0]
-    m1 = jnp.mean(dyhat, axis=-1, keepdims=True)
-    m2 = jnp.mean(dyhat * yhat, axis=-1, keepdims=True)
-    dy = inv * (dyhat - m1 - yhat * m2)
+    dy = _ln_bwd_dx(dyn * g_ref[0], yhat, inv)
     dy_ref[0] = dy.astype(dy_ref.dtype)
 
 
@@ -1497,10 +1544,7 @@ def _block_bwd_kernel(x_ref, dout_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
         # transpose = inverse permutation; weight grads are unaffected).
         x = _cyc2(x, -shift)
     xf = x.astype(jnp.float32)
-    mu1 = jnp.mean(xf, axis=-1, keepdims=True)
-    xc1 = xf - mu1
-    inv1 = jax.lax.rsqrt(jnp.mean(xc1 * xc1, axis=-1, keepdims=True) + eps)
-    xhat1 = xc1 * inv1
+    xhat1, inv1 = _ln_stats(x, eps, bwd=True)
     u = (xhat1 * g1_ref[0] + b1_ref[0]).astype(x.dtype)
     uw = _to_windows(u)
     qkv = (jnp.dot(uw, wqkv_ref[...], preferred_element_type=jnp.float32)
@@ -1518,11 +1562,7 @@ def _block_bwd_kernel(x_ref, dout_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
     y = (xf + s1 * _from_windows(attn)).astype(x.dtype)
 
     # ---- forward recompute: LN2 + MLP up to pre-gelu
-    yf = y.astype(jnp.float32)
-    mu2 = jnp.mean(yf, axis=-1, keepdims=True)
-    yc2 = yf - mu2
-    inv2 = jax.lax.rsqrt(jnp.mean(yc2 * yc2, axis=-1, keepdims=True) + eps)
-    yhat2 = yc2 * inv2
+    yhat2, inv2 = _ln_stats(y, eps, bwd=True)
     yn = (yhat2 * g2_ref[0] + b2_ref[0]).astype(x.dtype)
     yn2 = yn.reshape(Hs * W, C)
     a = (jnp.dot(yn2, w1_ref[...], preferred_element_type=jnp.float32)
@@ -1548,10 +1588,7 @@ def _block_bwd_kernel(x_ref, dout_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
     dg2_ref[...] += jnp.sum((dyn * yhat2).reshape(Hs * W, C), axis=0,
                             keepdims=True)
     db2_ref[...] += jnp.sum(dyn.reshape(Hs * W, C), axis=0, keepdims=True)
-    dyhat2 = dyn * g2_ref[0]
-    m1 = jnp.mean(dyhat2, axis=-1, keepdims=True)
-    m2 = jnp.mean(dyhat2 * yhat2, axis=-1, keepdims=True)
-    dy = dout + inv2 * (dyhat2 - m1 - yhat2 * m2)
+    dy = dout + _ln_bwd_dx(dyn * g2_ref[0], yhat2, inv2)
 
     # ---- backward: attention sublayer
     dattnw = _to_windows((s1 * dy).astype(x.dtype))  # (T, C)
@@ -1575,10 +1612,7 @@ def _block_bwd_kernel(x_ref, dout_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
     dg1_ref[...] += jnp.sum((du * xhat1).reshape(Hs * W, C), axis=0,
                             keepdims=True)
     db1_ref[...] += jnp.sum(du.reshape(Hs * W, C), axis=0, keepdims=True)
-    dxhat1 = du * g1_ref[0]
-    m1 = jnp.mean(dxhat1, axis=-1, keepdims=True)
-    m2 = jnp.mean(dxhat1 * xhat1, axis=-1, keepdims=True)
-    dx = dy + inv1 * (dxhat1 - m1 - xhat1 * m2)
+    dx = dy + _ln_bwd_dx(du * g1_ref[0], xhat1, inv1)
     if shift:
         dx = _cyc2(dx, shift)
     dx_ref[0] = dx.astype(dx_ref.dtype)
@@ -1782,13 +1816,8 @@ def _strip_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     h = num_heads
     d = C // h
 
-    # LayerNorm (fp32) over the channel axis
-    xf = x_ref[0].astype(jnp.float32)  # (ws, W, C)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    xn = xc * jax.lax.rsqrt(var + eps) * g_ref[0] + b_ref[0]
-    xn = xn.astype(x_ref.dtype)
+    # LayerNorm (fp32 stats; lane reductions on the MXU — see _ln_stats)
+    xn = _ln(x_ref[0], g_ref[0], b_ref[0], eps).astype(x_ref.dtype)
 
     # window partition inside VMEM: (ws, W, C) -> (nw, N, C)
     xw = xn.reshape(ws, nw, ws, C).transpose(1, 0, 2, 3).reshape(nw, N, C)
