@@ -488,8 +488,11 @@ def _gelu_fast(x: jnp.ndarray) -> jnp.ndarray:
 
 # Odd minimax polynomial (Lawson-iterated lsq) for Phi(x)-0.5 on [0, 4.5]:
 # max |GELU err| 1.52e-4 — 3x tighter than the tanh form — in 7 FMAs of
-# x^2 with NO transcendental (Mosaic lowers tanh/exp to multi-pass VPU
-# sequences; this is the single biggest VPU cost in the fused MLP).
+# x^2 with no transcendental. Measured SLOWER than tanh on v5e (isolated
+# stage-0 block 1.67 vs 1.19 ms): the VPU evaluates tanh/exp in hardware,
+# so the ablated 0.288 ms "GELU cost" is the memory pass over the (M, 4C)
+# intermediate, not the transcendental — the serial 7-FMA Horner chain
+# only adds latency. Kept as an accuracy (not speed) option.
 _GELU_POLY = (3.981362924533e-01, -6.500491242561e-02, 9.025301754638e-03,
               -8.844774146877e-04, 5.842921399509e-05, -2.449747711972e-06,
               5.840042427592e-08, -5.997206613528e-10)
