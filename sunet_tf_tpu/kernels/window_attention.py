@@ -527,6 +527,25 @@ def _gelu(x: jnp.ndarray, out_dtype) -> jnp.ndarray:
     return _gelu_exact(x)
 
 
+def _gelu_pass(h1: jnp.ndarray, dt) -> jnp.ndarray:
+    """GELU over the fp32 (M, hidden) fc1 accumulator, returned in dt.
+
+    SUNET_GELU_BF16=1 casts the accumulator to dt (bf16) BEFORE the GELU
+    (mirroring the XLA path, where nnx fc1 emits bf16 and jax.nn.gelu
+    runs on bf16 — models/layers.py Mlp.__call__). MEASURED A REGRESSION
+    on v5e @256² batch 32: 720.9 vs 752.7 img/s headline (−4.2%) despite
+    halving the nominal read bytes of the (M, 4C) pass — the VPU
+    evaluates the tanh chain at fp32 width either way, so the bf16 cast
+    adds converts instead of saving bandwidth. Default stays fp32-in
+    (also the higher-precision choice); the knob records the experiment.
+    """
+    import os as _os
+
+    if dt == jnp.bfloat16 and _os.environ.get("SUNET_GELU_BF16", "0") == "1":
+        return _gelu(h1.astype(dt), dt)
+    return _gelu(h1, dt).astype(dt)
+
+
 def _lane_mean_f32(p: jnp.ndarray) -> jnp.ndarray:
     """Lane-broadcast mean over the last axis of an fp32 tensor, computed
     as an MXU dot against an all-ones matrix instead of a VPU cross-lane
@@ -748,8 +767,8 @@ def _attn_bwd_tmp_bytes(nW: int, N: int, num_heads: int, C: int) -> int:
     return res + peak
 
 
-def _bd_exp(s: jnp.ndarray, num_heads: int, exact: Optional[bool] = None
-            ) -> jnp.ndarray:
+def _bd_exp(s: jnp.ndarray, num_heads: int, exact: Optional[bool] = None,
+            out_dtype=None) -> jnp.ndarray:
     """Numerator exponentials for lane-concat (nW, N, h*N) blockdiag scores.
 
     exact=None obeys SUNET_SOFTMAX: 'rowmax' subtracts each head's own
@@ -758,13 +777,22 @@ def _bd_exp(s: jnp.ndarray, num_heads: int, exact: Optional[bool] = None
     >~88 logits); 'shift' is the clamped constant-shift fast path.
     exact=True forces the per-head rowmax form (backward recompute must
     differentiate true softmax regardless of the forward mode).
+
+    out_dtype=None returns fp32 (the bwd recompute keeps e as a fp32
+    residual). The inference core passes its matmul dtype (bf16) so the
+    exp+cast fuse INTO the per-head slice pass: exp is computed in fp32
+    and cast per element, identical math to exp-then-astype, but the
+    full-width fp32 e tensor is never materialized — two fewer
+    score-sized VMEM passes (fp32 exp write+read, bf16 cast write).
     """
     import os as _os
 
     if exact is None:
         exact = _softmax_mode() == "rowmax"
+    cast = (lambda a: a) if out_dtype is None else (
+        lambda a: a.astype(out_dtype))
     if not exact:
-        return jnp.exp(jnp.minimum(s, 80.0) - 40.0)
+        return cast(jnp.exp(jnp.minimum(s, 80.0) - 40.0))
     nW, N, hN = s.shape
     h = num_heads
     n = hN // h
@@ -781,20 +809,25 @@ def _bd_exp(s: jnp.ndarray, num_heads: int, exact: Optional[bool] = None
         m = jax.lax.dot_general(msmall, expand.astype(jnp.float32),
                                 (((2,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        return jnp.exp(s - m)
+        return cast(jnp.exp(s - m))
     if variant == "concat":
         # h lane broadcasts + full-size concat of the maxes, then one
         # full-width subtract+exp. Measured: 599.9 img/s.
         m = jnp.concatenate(
             [jnp.broadcast_to(jnp.max(si, axis=-1, keepdims=True),
                               (nW, N, n)) for si in slices], axis=-1)
-        return jnp.exp(s - m)
+        return cast(jnp.exp(s - m))
     # 'slice' (default): subtract each head's max inside its slice and
     # concat the SHIFTED scores — fuses the broadcast-subtract into the
-    # concat writes, one fewer full-width pass than 'concat'.
+    # concat writes, one fewer full-width pass than 'concat'. Moving the
+    # exp (+ bf16 cast) INTO the slice loop to kill the full-width exp
+    # pass was measured a wash-to-regression (746-753 vs 755.9 img/s
+    # headline): the 64-lane slice ops run at half occupancy, eating the
+    # saved passes — same lesson as the bias-fold experiment. Keep the
+    # exp full-width.
     s2 = jnp.concatenate(
         [si - jnp.max(si, axis=-1, keepdims=True) for si in slices], axis=-1)
-    return jnp.exp(s2)
+    return cast(jnp.exp(s2))
 
 
 def _attn_core(q, k, v, bias_ref, mask, *, num_heads: int, scale: float):
@@ -873,8 +906,7 @@ def _attn_core(q, k, v, bias_ref, mask, *, num_heads: int, scale: float):
     # and the e→bf16 cast below costs ≤2^-9 relative in num AND den
     # (correlated, mostly cancelling) — the same precision class as the
     # XLA path's fp32-softmax→bf16-probability cast.
-    e = _bd_exp(s, num_heads)
-    eb = e.astype(dt)
+    eb = _bd_exp(s, num_heads, out_dtype=dt)
     rmask = (jax.lax.broadcasted_iota(jnp.int32, (hN, C), 0) // N
              == jax.lax.broadcasted_iota(jnp.int32, (hN, C), 1) // d)
     bv = jnp.concatenate([v] * h, axis=-2) * rmask.astype(dt)
@@ -1106,7 +1138,7 @@ def _block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
     yn = _ln(y, g2_ref[0], b2_ref[0]).astype(x.dtype)
     h1 = jnp.dot(yn.reshape(H * W, C), w1_ref[...],
                  preferred_element_type=jnp.float32) + bm1_ref[0]
-    h1 = _gelu(h1, x.dtype).astype(x.dtype)
+    h1 = _gelu_pass(h1, x.dtype)
     m = jnp.dot(h1, w2_ref[...],
                 preferred_element_type=jnp.float32) + bm2_ref[0]
     out = y.astype(jnp.float32) + dp_ref[bb, 1] * m.reshape(H, W, C)
@@ -1122,7 +1154,7 @@ def _mlp_kernel(y_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     yn = _ln(y, g_ref[0], b_ref[0]).astype(y.dtype)
     h1 = jnp.dot(yn.reshape(Hs * W, C), w1_ref[...],
                  preferred_element_type=jnp.float32) + b1_ref[0]
-    h1 = _gelu(h1, y.dtype).astype(y.dtype)
+    h1 = _gelu_pass(h1, y.dtype)
     m = jnp.dot(h1, w2_ref[...],
                 preferred_element_type=jnp.float32) + b2_ref[0]
     bb = pl.program_id(0)
