@@ -440,3 +440,221 @@ def _up4_bwd(res, dout):
 
 
 dual_upsample4_trainable.defvjp(_up4_fwd, _up4_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Inference head: dual up-sample x4 AND the 3x3 output conv in ONE kernel,
+# entirely in phase space (reference model/SUNet_detail.py:736-746 up_x4
+# followed by the :753/:680-684 output conv).
+#
+# The x4-upsampled (B, 4H, 4W, C) map is never materialized — not in HBM,
+# not even interleaved in VMEM. The kernel keeps the head's 16 per-subpixel
+# phase maps y[i][j](h, w) = head(x)[4h+i, 4w+j] at LOW resolution, and the
+# output conv becomes one matmul: output phase (i,j) at base (h, w) taps
+# high-res rows 4h+i+dy, cols 4w+j+dx (dy,dx in {-1,0,1}), i.e. phase
+# ((i+dy)%4, (j+dx)%4) at base offset (floor((i+dy)/4), floor((j+dx)/4)).
+# The union of (base-offset, phase) pairs per axis is 6 slots:
+# (-1, 3), (0, 0..3), (+1, 0) — so a lane-concat of 36 shifted phase maps
+# (Hs*W, 36C) against a block-sparse folded weight (36C, 16*out) computes
+# every output phase in one MXU pass. Conv zero-padding at image edges =
+# zeroing the out-of-image slot rows/cols (distinct from the bilinear
+# branch's CLAMPED resize taps, which stay inside the phase maps).
+#
+# Measured motivation (v5e @256^2 batch 32, xprof): the split head spent
+# 3.44 ms in the up4 kernel (403 MB HBM write of the upsampled bf16 map)
+# plus 1.7 ms in the XLA output-conv fusion reading it back.
+# ---------------------------------------------------------------------------
+
+# per-axis (base-offset, phase) slot order for the conv matmul lane-concat
+_USLOTS = ((-1, 3), (0, 0), (0, 1), (0, 2), (0, 3), (1, 0))
+
+
+def fold_output_conv4(wconv: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, out) HWIO 3x3 conv weights -> (36*C, 16*out) phase-space
+    fold for the x4 head (block-sparse: each output-phase column block
+    holds its 9 taps, one per (slot_h, slot_w) row block)."""
+    _, _, C, out = wconv.shape
+    idx = {u: n for n, u in enumerate(_USLOTS)}
+    w = jnp.zeros((36 * C, 16 * out), jnp.float32)
+    for i in range(4):
+        for j in range(4):
+            col = (i * 4 + j) * out
+            for dy in (-1, 0, 1):
+                hi = i + dy
+                uh = idx[(-1 if hi < 0 else (1 if hi > 3 else 0), hi % 4)]
+                for dx in (-1, 0, 1):
+                    wi = j + dx
+                    uw = idx[(-1 if wi < 0 else (1 if wi > 3 else 0),
+                              wi % 4)]
+                    slot = uh * 6 + uw
+                    w = w.at[slot * C:(slot + 1) * C, col:col + out].set(
+                        wconv[dy + 1, dx + 1].astype(jnp.float32))
+    return w
+
+
+def _up4_conv_kernel(xp_ref, xc_ref, xn_ref, wexp_ref, wb1_ref, bb1_ref,
+                     wpf_ref, wbf_ref, wfold_ref, alpha_ref, o_ref, *,
+                     S: int, out_ch: int):
+    _, Hs, W, C = xc_ref.shape
+    f32 = jnp.float32
+    dt = xc_ref.dtype
+    xc = xc_ref[0]
+    ap = alpha_ref[0, 0]
+    ab = alpha_ref[0, 1]
+    g = pl.program_id(1)
+    top = g == 0
+    bot = g == S - 1
+
+    # extended input rows: x1 = rows -1..Hs, x2 = rows -2..Hs+1 (2-row halo
+    # from the neighbor strips; at the image edge the halo rows are the
+    # CLAMPED edge row — the bilinear resize's tap semantics. Rows beyond
+    # the image only ever feed phase rows that the conv zero-pad masks out
+    # below, so their clamped content is never read into the output).
+    p1 = jnp.where(top, xc[0:1], xp_ref[0, Hs - 1:Hs])
+    p2 = jnp.where(top, xc[0:1], xp_ref[0, Hs - 2:Hs - 1])
+    n1 = jnp.where(bot, xc[Hs - 1:Hs], xn_ref[0, 0:1])
+    n2 = jnp.where(bot, xc[Hs - 1:Hs], xn_ref[0, 1:2])
+    x1 = jnp.concatenate([p1, xc, n1], axis=0)           # (Hs+2, W, C)
+    x2 = jnp.concatenate([p2, x1, n2], axis=0)           # (Hs+4, W, C)
+
+    # ---- bilinear branch at low res over the 2-halo rows
+    zb = jnp.dot(x2.reshape((Hs + 4) * W, C), wb1_ref[...],
+                 preferred_element_type=f32) + bb1_ref[0]
+    xb = jnp.dot(_prelu(zb, ab).astype(dt), wbf_ref[...],
+                 preferred_element_type=f32).reshape(Hs + 4, W, C)
+    # H-phase maps for base rows -1..Hs (phases 0,1 tap rows h-1,h;
+    # phases 2,3 tap h,h+1 — xb row h lives at index h+2)
+    rows = lambda o: xb[o:o + Hs + 2]
+    htaps = ((rows(0), rows(1)), (rows(0), rows(1)),
+             (rows(1), rows(2)), (rows(1), rows(2)))
+
+    # ---- per-phase head maps y[i*4+j] = pixel-shuffle + bilinear, bf16
+    t1 = x1.reshape((Hs + 2) * W, C)
+    y = []
+    for i in range(4):
+        (a, b), (lo, hi) = _P4[i], htaps[i]
+        yh = a * lo + b * hi                              # (Hs+2, W, C) f32
+        t0 = jnp.concatenate([yh[:, 0:1], yh[:, :W - 1]], axis=1)
+        t2 = jnp.concatenate([yh[:, 1:], yh[:, W - 1:]], axis=1)
+        wtaps = ((t0, yh), (t0, yh), (yh, t2), (yh, t2))
+        for j in range(4):
+            z = jnp.dot(t1, wexp_ref[i * 4 + j],
+                        preferred_element_type=f32)
+            ps = jnp.dot(_prelu(z, ap).astype(dt), wpf_ref[...],
+                         preferred_element_type=f32)
+            (aw, bw), (wl, wh) = _P4[j], wtaps[j]
+            yij = ps.reshape(Hs + 2, W, C) + (aw * wl + bw * wh)
+            y.append(yij.astype(dt))
+
+    # ---- conv as one matmul over 36 shifted phase slots
+    topv = jnp.where(top, 0.0, 1.0).astype(dt)
+    botv = jnp.where(bot, 0.0, 1.0).astype(dt)
+    zcol = jnp.zeros((Hs, 1, C), dt)
+    slots = []
+    for dh, pi in _USLOTS:
+        for dw, pj in _USLOTS:
+            t = y[pi * 4 + pj][1 + dh:1 + dh + Hs]       # (Hs, W, C)
+            if dw == -1:                                  # col w-1, zero-pad
+                t = jnp.concatenate([zcol, t[:, :W - 1]], axis=1)
+            elif dw == 1:                                 # col w+1, zero-pad
+                t = jnp.concatenate([t[:, 1:], zcol], axis=1)
+            if dh == -1:                                  # row r-1 @ image top
+                t = jnp.concatenate([t[0:1] * topv, t[1:]], axis=0)
+            elif dh == 1:                                 # row r+1 @ image bot
+                t = jnp.concatenate([t[:Hs - 1], t[Hs - 1:] * botv], axis=0)
+            slots.append(t)
+    A = jnp.concatenate(slots, axis=-1).reshape(Hs * W, 36 * C)
+    O = jnp.dot(A, wfold_ref[...], preferred_element_type=f32)
+    o_ref[0] = O.reshape(Hs, W, 16 * out_ch).astype(o_ref.dtype)
+
+
+def _up4c_tmp_bytes(Hs: int, W: int, C: int) -> int:
+    """Peak temporaries: 16 bf16 phase maps + the (Hs*W, 36C) bf16 slot
+    concat + fp32 matmul output + the xb/z chains."""
+    pc = _pad128(C)
+    return (16 * (Hs + 2) * W * pc * 2     # y phases bf16
+            + Hs * W * 36 * pc * 2         # A
+            + Hs * W * 128 * 4             # O fp32 (out lanes padded)
+            + (Hs + 4) * W * pc * 10)      # xb fp32 + z transient
+
+
+def _up4c_strips(H: int, W: int, C: int) -> int:
+    cap = int(_os.environ.get("SUNET_UP4C_CAP_MB", "30")) * 1024 * 1024
+    S = 1
+    while H % (S * 2) == 0 and _up4c_tmp_bytes(H // S, W, C) > cap:
+        S *= 2
+    return S
+
+
+def fused_dual_upsample4_conv(
+    x: jnp.ndarray,
+    w_exp: jnp.ndarray,
+    alpha_p: jnp.ndarray,
+    w_b1: jnp.ndarray,
+    b_b1: jnp.ndarray,
+    alpha_b: jnp.ndarray,
+    wpf: jnp.ndarray,
+    wbf: jnp.ndarray,
+    wconv: jnp.ndarray,
+    *,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """x4 dual up-sample + 3x3 output conv (no bias), one kernel + one
+    cheap XLA depth-to-space. x: (B, H, W, C); wconv: (3, 3, C, out) with
+    16*out <= 128 (the matmul's output lanes). Returns (B, 4H, 4W, out)
+    in x.dtype. Inference only — training keeps the split head (its
+    custom-VJP covers the up4 alone)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, W, C = x.shape
+    out_ch = wconv.shape[-1]
+    assert 16 * out_ch <= 128, f"out_chans {out_ch} too wide for the fold"
+    S = _up4c_strips(H, W, C)
+    Hs = H // S
+    wexp_s = w_exp.reshape(C, C, 16).transpose(2, 0, 1)
+    wfold = fold_output_conv4(wconv)
+    alphas = jnp.stack([alpha_p.reshape(()), alpha_b.reshape(())]
+                       ).astype(jnp.float32).reshape(1, 2)
+    full = lambda *shape: pl.BlockSpec(shape, lambda bb, g: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    strip = lambda fn: pl.BlockSpec((1, Hs, W, C),
+                                    lambda bb, g: (bb, fn(g), 0, 0),
+                                    memory_space=pltpu.VMEM)
+    kernel = functools.partial(_up4_conv_kernel, S=S, out_ch=out_ch)
+    o = pl.pallas_call(
+        kernel,
+        grid=(B, S),
+        in_specs=[
+            strip(lambda g: jnp.maximum(g - 1, 0)),
+            strip(lambda g: g),
+            strip(lambda g: jnp.minimum(g + 1, S - 1)),
+            full(16, C, C),
+            full(C, C), full(1, C),
+            full(C, C), full(C, C),
+            full(36 * C, 16 * out_ch),
+            pl.BlockSpec((1, 2), lambda bb, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Hs, W, 16 * out_ch),
+                               lambda bb, g: (bb, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, 16 * out_ch), x.dtype),
+        interpret=interpret,
+        compiler_params=_compiler_params(
+            (3 + 1) * Hs * W * C * x.dtype.itemsize
+            + _tree_bytes(wexp_s, w_b1, wpf, wbf) + 36 * C * 16 * out_ch * 2,
+            tmp_bytes=_up4c_tmp_bytes(Hs, W, C)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * C * C * 36
+            + 2 * B * H * W * 36 * C * 16 * out_ch,
+            bytes_accessed=3 * B * H * W * C * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, x, x, wexp_s.astype(x.dtype), w_b1.astype(x.dtype),
+      b_b1.astype(jnp.float32).reshape(1, C), wpf.astype(x.dtype),
+      wbf.astype(x.dtype), wfold.astype(x.dtype), alphas)
+    # depth-to-space: (B, H, W, 16*out) -> (B, 4H, 4W, out); a small XLA
+    # transpose (the tensor is 16*C/out times smaller than the upsampled
+    # feature map the split head wrote).
+    o = o.reshape(B, H, W, 4, 4, out_ch).transpose(0, 1, 3, 2, 4, 5)
+    return o.reshape(B, 4 * H, 4 * W, out_ch)

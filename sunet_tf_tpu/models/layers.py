@@ -580,3 +580,21 @@ class DualUpsample(nnx.Module):
         dt = xp_pre.dtype
         return (xp_pre @ wpf.astype(dt)
                 + bilinear_resize(xb_pre @ wbf.astype(dt), r))
+
+    def fused_conv_head(self, x: jnp.ndarray, wconv: jnp.ndarray) -> jnp.ndarray:
+        """x4 head AND a following 3x3 bias-free conv (the model's output
+        conv, reference model/SUNet_detail.py:753) in one phase-space
+        Pallas kernel — the upsampled (B, 4H, 4W, C) map never exists
+        (kernels/upsample.py::fused_dual_upsample4_conv). Inference only."""
+        assert self.factor == 4
+        out_ch = self.mix.lin.kernel.shape[1]
+        wp = self.mix.lin.kernel[...][:out_ch]
+        wb = self.mix.lin.kernel[...][out_ch:]
+        from sunet_tf_tpu.kernels.upsample import fused_dual_upsample4_conv
+
+        return fused_dual_upsample4_conv(
+            x, self.up_p_conv1.lin.kernel[...], self.up_p_act.alpha[...],
+            self.up_b_conv1.lin.kernel[...], self.up_b_conv1.lin.bias[...],
+            self.up_b_act.alpha[...],
+            self.up_p_conv2.lin.kernel[...] @ wp,
+            self.up_b_conv2.lin.kernel[...] @ wb, wconv)

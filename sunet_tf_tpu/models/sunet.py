@@ -187,6 +187,50 @@ class SUNet(nnx.Module):
         self.output = Conv3x3(C, cfg.out_chans, use_bias=False, dtype=dtype, rngs=rngs)
         self.compute_dtype = dtype
 
+    def _stem(self, x: jnp.ndarray, constrained: bool = False) -> jnp.ndarray:
+        """conv_first 3x3 (pad 1) + PatchEmbed conv (k=s=p, VALID) + LN.
+
+        Default path folds the two convs into ONE composite (p+2)x(p+2)
+        stride-p pad-1 conv: conv(conv(x, W1), W2) == conv(x, W1 ⊛ W2)
+        because nothing nonlinear sits between them (the reference's
+        top-level PReLU is a stray unused parameter,
+        model/SUNet_detail.py:609,749; patch_embed applies directly at
+        :750->:706-713). Measured on v5e @256² batch 32: the sequential
+        path writes the (B, H, W, C) conv_first map to HBM (403 MB at
+        batch 32) and reads it back through a {3,0,2,1} relayout —
+        ~1.5 ms/iter of the inference step; the composite conv reads only
+        the (B, H, W, in_chans) input. Weight-space fold costs ~8 MFLOP
+        per step and autodiff routes gradients to BOTH parameter sets, so
+        the fold is exact for training too (fp difference: the composite
+        skips one bf16 rounding of the intermediate — strictly closer to
+        the fp32 reference). SUNET_FUSED_STEM=0 opts out; the spatially
+        constrained path keeps the sequential form (its sharding hooks
+        pin the pixel-res intermediate).
+        """
+        if constrained or os.environ.get("SUNET_FUSED_STEM", "1") == "0":
+            return self.patch_embed(self.conv_first(x))
+        p = self.cfg.patch_size
+        w1 = self.conv_first.conv.kernel[...]          # (3, 3, in, C) fp32
+        b1 = self.conv_first.conv.bias[...]            # (C,)
+        w2 = self.patch_embed.proj.kernel[...]         # (p, p, C, C)
+        b2 = self.patch_embed.proj.bias[...]           # (C,)
+        cin, C = w1.shape[2], w1.shape[3]
+        wc = jnp.zeros((p + 2, p + 2, cin, C), jnp.float32)
+        for pp in range(3):
+            for q in range(3):
+                wc = wc.at[pp:pp + p, q:q + p].add(
+                    jnp.einsum("ac,ijco->ijao", w1[pp, q], w2))
+        bc = jnp.einsum("c,ijco->o", b1, jnp.asarray(w2, jnp.float32)) + b2
+        y = jax.lax.conv_general_dilated(
+            x, wc.astype(x.dtype), window_strides=(p, p),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = (y + bc).astype(x.dtype)
+        if self.patch_embed.norm is not None:
+            y = self.patch_embed.norm(y).astype(y.dtype)
+        return y
+
     def __call__(self, x: jnp.ndarray, key: Optional[jax.Array] = None,
                  constrain=None) -> jnp.ndarray:
         """x: (B, H, W, in_chans) in [0,1] -> (B, H, W, out_chans) raw logits.
@@ -212,8 +256,7 @@ class SUNet(nnx.Module):
         assert x.shape[1] % gran == 0 and x.shape[2] % gran == 0, (
             f"input {x.shape[1]}x{x.shape[2]} must be divisible by {gran}")
 
-        x = c(self.conv_first(c(x)))
-        feats = c(self.patch_embed(x))
+        feats = c(self._stem(c(x), constrained=constrain is not None))
         if self.absolute_pos_embed is not None:
             feats = feats + self.absolute_pos_embed[...].astype(feats.dtype)
         if key is not None and self.drop_rate > 0:
@@ -239,6 +282,19 @@ class SUNet(nnx.Module):
         # tunnel (see bench.bench_train). SUNET_UP4_FUSED_TRAIN=0 opts
         # the training path out.
         up4_train = os.environ.get("SUNET_UP4_FUSED_TRAIN", "1") == "1"
+        # Inference default: x4 head + output conv in ONE phase-space
+        # kernel (the upsampled (B, 4H, 4W, C) map never exists — see
+        # kernels/upsample.py::fused_dual_upsample4_conv). The split head
+        # + XLA conv remains the training path (the up4 custom-VJP covers
+        # the head alone) and the opt-out (SUNET_UP4_CONV_FUSED=0).
+        if (key is None and constrain is None
+                and getattr(self.up_final, "backend", "xla") == "pallas"
+                and os.environ.get("SUNET_UP4_CONV_FUSED", "1") != "0"
+                and os.environ.get("SUNET_UP4_FUSED", "1") != "0"
+                and 16 * cfg.out_chans <= 128):
+            out = self.up_final.fused_conv_head(
+                feats, self.output.conv.kernel[...].astype(feats.dtype))
+            return out.astype(jnp.float32)
         feats = c(self.up_final(feats, fused=key is None or up4_train))
         out = self.output(feats)
         return out.astype(jnp.float32)

@@ -232,6 +232,59 @@ def test_fused_dual_upsample4_grads_match_xla():
                                    rtol=1e-4, atol=1e-4)
 
 
+def _conv3x3_nobias(x, w):
+    """Zero-padded 3x3 conv, the model's output conv semantics
+    (reference model/SUNet_detail.py:753 / :680-684, bias=False)."""
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+@pytest.mark.parametrize("C,H,out", [(32, 16, 3), (96, 8, 3), (32, 8, 1)])
+def test_fused_up4_conv_head_matches_split(C, H, out):
+    """fused_dual_upsample4_conv (x4 head + 3x3 output conv in phase
+    space, the high-res map never materialized) vs the split path: the
+    XLA DualUpsample followed by a zero-padded 3x3 conv. Covers the
+    36-slot shifted-phase lane concat, the folded block-sparse conv
+    weights, and the image-edge zero masks vs the bilinear's CLAMPED
+    resize taps."""
+    from sunet_tf_tpu.kernels.upsample import fused_dual_upsample4_conv
+    from sunet_tf_tpu.models.layers import DualUpsample
+
+    m = DualUpsample(C, 4, backend="pallas", rngs=nnx.Rngs(0))
+    wconv = jax.random.normal(jax.random.key(7), (3, 3, C, out),
+                              jnp.float32) * 0.1
+    x = jax.random.normal(jax.random.key(1), (2, H, H, C), jnp.float32)
+    ref = jax.jit(lambda x: _conv3x3_nobias(m(x, fused=False), wconv))(x)
+    got = jax.jit(lambda x: m.fused_conv_head(x, wconv))(x)
+    assert got.shape == (2, 4 * H, 4 * H, out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_up4_conv_head_multistrip(monkeypatch):
+    """A tiny SUNET_UP4C_CAP_MB forces S>1 row strips: the 2-row strip
+    halos, the per-strip top/bottom conv zero masks, and the clamped
+    bilinear halo rows must still reproduce the single-strip answer."""
+    from sunet_tf_tpu.kernels.upsample import _up4c_strips
+    from sunet_tf_tpu.models.layers import DualUpsample
+
+    C, H, out = 32, 16, 3
+    m = DualUpsample(C, 4, backend="pallas", rngs=nnx.Rngs(0))
+    wconv = jax.random.normal(jax.random.key(7), (3, 3, C, out),
+                              jnp.float32) * 0.1
+    x = jax.random.normal(jax.random.key(1), (1, H, H, C), jnp.float32)
+    one = jax.jit(lambda x: m.fused_conv_head(x, wconv))(x)
+
+    monkeypatch.setenv("SUNET_UP4C_CAP_MB", "1")
+    assert _up4c_strips(H, H, C) > 1
+    multi = jax.jit(lambda x: m.fused_conv_head(x, wconv))(x)
+    np.testing.assert_allclose(np.asarray(multi), np.asarray(one),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fused_dual_upsample4_full_model_grad(monkeypatch):
     """Grad through the full tiny model with the pallas backend and the
     fused-head train opt-in (SUNET_UP4_FUSED_TRAIN=1 routes the custom

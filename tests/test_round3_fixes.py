@@ -107,3 +107,52 @@ def test_train_step_masks_padded_rows(tiny_cfg):
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_fused_conv_head_routing_matches_split(monkeypatch):
+    """Full tiny model, pallas backend: the default inference routing
+    (x4 head + output conv in one phase-space kernel,
+    SUNET_UP4_CONV_FUSED=1) must match the split head + XLA conv path."""
+    from sunet_tf_tpu.config import tiny_config
+    from sunet_tf_tpu.models.sunet import build_model
+
+    cfg = tiny_config()
+    cfg = cfg.replace(tpu=cfg.tpu.__class__(compute_dtype="float32",
+                                            attention_backend="pallas"))
+    model = build_model(cfg, seed=0)
+    x = jax.random.uniform(jax.random.key(2), (1, 64, 64, 3), jnp.float32)
+
+    monkeypatch.setenv("SUNET_UP4_CONV_FUSED", "1")
+    fused = np.asarray(jax.jit(model)(x))
+    monkeypatch.setenv("SUNET_UP4_CONV_FUSED", "0")
+    split = np.asarray(jax.jit(model)(x))
+    np.testing.assert_allclose(fused, split, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_stem_matches_sequential(tiny_cfg, monkeypatch):
+    """The composite-stem conv (conv_first 3x3 ⊛ patch_embed k=s=p fold,
+    reference model/SUNet_detail.py:610,749-750 with no nonlinearity
+    between — the :609 PReLU is a stray unused parameter) must match the
+    sequential two-conv path. The fused form skips one intermediate
+    rounding, so the bound is the activation-dtype class, not exact."""
+    from sunet_tf_tpu.models.sunet import build_model
+
+    model = build_model(tiny_cfg, seed=0)
+    x = jax.random.uniform(
+        jax.random.key(3),
+        (2, tiny_cfg.swinunet.img_size, tiny_cfg.swinunet.img_size, 3),
+        jnp.float32)
+    xin = x.astype(model.compute_dtype) if model.compute_dtype else x
+
+    monkeypatch.setenv("SUNET_FUSED_STEM", "1")
+    fused = np.asarray(model._stem(xin), np.float32)
+    monkeypatch.setenv("SUNET_FUSED_STEM", "0")
+    seq = np.asarray(model._stem(xin), np.float32)
+    assert fused.shape == seq.shape
+    scale = max(float(np.mean(np.abs(seq))), 1e-3)
+    assert float(np.mean(np.abs(fused - seq))) < 6e-3 * scale
+
+    # constrained path (spatial sharding) must keep the sequential form
+    monkeypatch.setenv("SUNET_FUSED_STEM", "1")
+    seq2 = np.asarray(model._stem(xin, constrained=True), np.float32)
+    np.testing.assert_allclose(seq2, seq, rtol=0, atol=0)
