@@ -221,12 +221,18 @@ class SUNet(nnx.Module):
                 wc = wc.at[pp:pp + p, q:q + p].add(
                     jnp.einsum("ac,ijco->ijao", w1[pp, q], w2))
         bc = jnp.einsum("c,ijco->o", b1, jnp.asarray(w2, jnp.float32)) + b2
+        # Conv in the compute dtype (no preferred_element_type=fp32): the
+        # MXU accumulates bf16 inputs in fp32 internally either way, and
+        # the fp32-output form breaks under value_and_grad — JAX's conv
+        # transpose rule feeds the fp32 cotangent against the bf16
+        # operand and conv_general_dilated rejects mixed dtypes. The
+        # bias add is lifted to fp32; the sequential path rounds to bf16
+        # at the same point (conv_first's own bf16 output).
         y = jax.lax.conv_general_dilated(
             x, wc.astype(x.dtype), window_strides=(p, p),
             padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-        y = (y + bc).astype(x.dtype)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = (y.astype(jnp.float32) + bc).astype(x.dtype)
         if self.patch_embed.norm is not None:
             y = self.patch_embed.norm(y).astype(y.dtype)
         return y

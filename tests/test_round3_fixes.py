@@ -156,3 +156,32 @@ def test_fused_stem_matches_sequential(tiny_cfg, monkeypatch):
     monkeypatch.setenv("SUNET_FUSED_STEM", "1")
     seq2 = np.asarray(model._stem(xin, constrained=True), np.float32)
     np.testing.assert_allclose(seq2, seq, rtol=0, atol=0)
+
+
+def test_bf16_train_step_compiles_and_runs(tiny_cfg):
+    """Regression: the composite stem conv with preferred_element_type=
+    fp32 failed under value_and_grad at bf16 compute dtype (JAX's conv
+    transpose rule feeds the fp32 cotangent against the bf16 operand and
+    conv_general_dilated rejects mixed dtypes). The rest of the suite
+    pins compute_dtype=float32, so the production bf16 train path needs
+    its own gradient-capable smoke test."""
+    import optax
+
+    from sunet_tf_tpu.models.sunet import build_model
+    from sunet_tf_tpu.train.loop import build_steps
+
+    cfg = tiny_cfg.replace(tpu=tiny_cfg.tpu.__class__(
+        compute_dtype="bfloat16"))
+    model = build_model(cfg, seed=0)
+    graphdef, params = nnx.split(model)
+    tx = optax.adam(1e-4)
+    fns = build_steps(cfg, graphdef, tx, task="denoise", sigma=50.0)
+    opt_state = tx.init(params)
+    s = cfg.swinunet.img_size
+    rng = np.random.default_rng(0)
+    batch = {"input": rng.integers(0, 255, (2, s, s, 3), dtype=np.uint8),
+             "target": rng.integers(0, 255, (2, s, s, 3), dtype=np.uint8)}
+    p, o, scalars, _ = jax.jit(fns.train_step)(
+        params, opt_state, batch, jax.random.key(0), jnp.uint32(0), {})
+    jax.block_until_ready(p)
+    assert np.isfinite(float(scalars["loss"]))
