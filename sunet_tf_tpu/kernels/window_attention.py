@@ -984,17 +984,27 @@ def _attn_core_fwd_res(q, k, v, bias_ref, mask, *, num_heads: int,
     s = s + jnp.concatenate([bias_ref[i] for i in range(h)], axis=-1)
     if mask is not None:
         s = s + jnp.concatenate([mask] * h, axis=-1)
-    e = _bd_exp(s, h, exact=True)
+    import os as _os
+    fake = _os.environ.get("SUNET_BWD_FAKE", "")
+    if "noexp" in fake:
+        e = jnp.abs(s)  # timing ablation only: wrong numerics, same shapes
+    else:
+        e = _bd_exp(s, h, exact=True)
     eb = e.astype(dt)
     rmask = (jax.lax.broadcasted_iota(jnp.int32, (hN, C), 0) // N
              == jax.lax.broadcasted_iota(jnp.int32, (hN, C), 1) // d)
     bv = jnp.concatenate([v] * h, axis=-2) * rmask.astype(dt)
     num = jax.lax.dot_general(eb, bv, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=f32)
-    den = jnp.maximum(
-        jax.lax.dot_general(eb, rmask.astype(dt), (((2,), (0,)), ((), ())),
-                            preferred_element_type=f32), 1e-37)
-    ctx = num / den
+    if "noden" in fake:
+        den = jnp.ones_like(num)  # timing ablation only
+        ctx = num
+    else:
+        den = jnp.maximum(
+            jax.lax.dot_general(eb, rmask.astype(dt),
+                                (((2,), (0,)), ((), ())),
+                                preferred_element_type=f32), 1e-37)
+        ctx = num / den
     return ctx, (qs, e, den, ctx)
 
 
