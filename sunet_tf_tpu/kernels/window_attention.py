@@ -875,6 +875,20 @@ def _attn_core(q, k, v, bias_ref, mask, *, num_heads: int, scale: float):
                 preferred_element_type=f32))
         return jnp.concatenate(heads_out, axis=-1)
 
+    eb, den, num = _bd_fwd_core(q, k, v, bias_ref, mask,
+                                num_heads=num_heads, scale=scale)
+    return num / jnp.maximum(den, 1e-37)
+
+
+def _bd_fwd_core(q, k, v, bias_ref, mask, *, num_heads: int, scale: float):
+    """Blockdiag forward internals shared by _attn_core and the
+    residual-saving train kernel. Returns (eb, den, num): bf16
+    lane-concat exponentials (nW, N, hN) and the fp32 per-channel
+    denominator / unnormalized context (nW, N, C)."""
+    nW, N, C = q.shape
+    h = num_heads
+    d = C // h
+    f32 = jnp.float32
     dt = q.dtype
     hN = h * N
     eye = jnp.eye(N, dtype=dt)
@@ -889,7 +903,7 @@ def _attn_core(q, k, v, bias_ref, mask, *, num_heads: int, scale: float):
     qs = (q.astype(f32) * scale).astype(dt)
     s = jax.lax.dot_general(qs, bk, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=f32)  # (nW, N, hN)
-    s = s + jnp.concatenate([bias_ref[i] for i in range(h)], axis=-1)
+    s = s + jnp.concatenate([bias_ref[i] for i in range(num_heads)], axis=-1)
     if mask is not None:
         s = s + jnp.concatenate([mask] * h, axis=-1)
     # Per-head softmax without lane-split reshapes (flash-style): the exp
@@ -899,7 +913,7 @@ def _attn_core(q, k, v, bias_ref, mask, *, num_heads: int, scale: float):
     # is a (N, C)-shaped divide after the PV dot, never a segmented
     # lane reduction. 'rowmax' subtracts each head's OWN row max (h
     # static lane-slice reductions): a GLOBAL row max would zero out any
-    # head trailing the hottest head by >~88 logits (exp underflow → den
+    # head trailing the hottest one by >~88 logits (exp underflow → den
     # hits the guard → that head's channels silently zero — advisor
     # finding, round 2), a realistic spread given trained |logits|~1e4.
     # Per-head max also guarantees max(e)=1 per block, so den ∈ [1, N]
@@ -915,7 +929,7 @@ def _attn_core(q, k, v, bias_ref, mask, *, num_heads: int, scale: float):
     den = jax.lax.dot_general(
         eb, rmask.astype(dt), (((2,), (0,)), ((), ())),
         preferred_element_type=f32)  # (nW, N, C)
-    return num / jnp.maximum(den, 1e-37)
+    return eb, den, num
 
 
 def _attn_layout_bwd(head_dim: int, N: int, C: int) -> str:
@@ -1008,11 +1022,14 @@ def _attn_core_fwd_res(q, k, v, bias_ref, mask, *, num_heads: int,
     return ctx, (qs, e, den, ctx)
 
 
-def _attn_core_bwd(q, k, v, res, dctx, *, num_heads: int, scale: float):
+def _attn_core_bwd(q, k, v, res, dctx, *, num_heads: int, scale: float,
+                   recip: bool = False):
     """Backward of the attention core, matching _attn_core_fwd_res layouts.
 
     dctx: (nW, N, C) fp32 cotangent of the pre-projection context.
     Returns (dq, dk, dv, dbias): fp32 (nW, N, C) x3 and (h, N, N).
+    recip=True (residual-saving path): res carries the RECIPROCAL
+    denominator, so dn is a multiply instead of a VPU divide.
 
     Blockdiag layout (round-3 item: forward-only blockdiag took the train
     step 141->158 img/s; backward is the bigger half). All backward dots
@@ -1074,7 +1091,7 @@ def _attn_core_bwd(q, k, v, res, dctx, *, num_heads: int, scale: float):
              == jax.lax.broadcasted_iota(jnp.int32, (C, hN), 1) // N)
     rmask = (jax.lax.broadcasted_iota(jnp.int32, (hN, C), 0) // N
              == jax.lax.broadcasted_iota(jnp.int32, (hN, C), 1) // d)
-    dn = dctx / den                                     # fp32 (nW, N, C)
+    dn = dctx * den if recip else dctx / den            # fp32 (nW, N, C)
     t = dn * ctx
     # bvT (nW, C, hN): per-window V^T via MXU eye-dot, block-diag tiled
     vt = jax.lax.dot_general(v, eye, (((1,), (0,)), ((), ())),
@@ -1843,6 +1860,460 @@ def _block_bwd(mask_static, ws, num_heads, scale, shift, res, dout):
 
 
 swin_block_trainable.defvjp(_block_fwd, _block_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Residual-saving train block (blockdiag geometries): the forward kernel
+# additionally writes the attention softmax state — eb (bf16 lane-concat
+# exponentials), rden (fp32 reciprocal denominator) and ctx (fp32
+# pre-projection context) — to HBM, and the backward kernel consumes them
+# instead of recomputing the score/softmax pipeline. Measured motivation
+# (xprof + SUNET_BWD_FAKE ablation, b16 2026-08-18): the exp/den
+# recompute alone is 6.3 ms of the 94.9 ms train step, plus the score
+# dot, K^T eye-dot and bias/mask add passes; the HBM round trip for the
+# residuals is ~0.2 ms/block. Requires SUNET_SOFTMAX=rowmax (the saved
+# eb must be the exact per-head-max form the backward differentiates).
+# SUNET_BWD_RESID=0 opts out (falls back to full recompute).
+# ---------------------------------------------------------------------------
+
+
+def bwd_residuals_enabled(C: int, num_heads: int, N: int) -> bool:
+    """True when the residual-saving train block applies: both directions
+    on the blockdiag layout and the exact rowmax softmax (default)."""
+    import os as _os
+
+    if _os.environ.get("SUNET_BWD_RESID", "1") != "1":
+        return False
+    if _softmax_mode() != "rowmax":
+        return False
+    d = C // num_heads
+    return (_attn_layout(d, N, C) == "blockdiag"
+            and _attn_layout_bwd(d, N, C) == "blockdiag")
+
+
+def _block_fwd_res_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
+                          wproj_ref, bproj_ref, g2_ref, b2_ref, w1_ref,
+                          bm1_ref, w2_ref, bm2_ref, bias_ref, mask_ref,
+                          dp_ref, o_ref, eb_ref, rden_ref, ctx_ref, *,
+                          ws: int, num_heads: int, scale: float,
+                          has_mask: bool, shift: int = 0):
+    """_block_kernel + attention-residual stores (train fwd for the
+    residual-saving custom VJP). ctx is normalized via the reciprocal so
+    the stored rden turns the backward's dn divide into a multiply."""
+    _, H, W, C = x_ref.shape
+    hh, ww = H // ws, W // ws
+    nW = hh * ww
+    N = ws * ws
+    h = num_heads
+    x = x_ref[0]
+    if shift:
+        x = _cyc2(x, -shift)
+
+    xn = _ln(x, g1_ref[0], b1_ref[0]).astype(x.dtype)
+    xw = xn.reshape(hh, ws, ww, ws, C).transpose(0, 2, 1, 3, 4)
+    xw = xw.reshape(nW * N, C)
+    qkv = jnp.dot(xw, wqkv_ref[...],
+                  preferred_element_type=jnp.float32) + bqkv_ref[0]
+    qkv = qkv.astype(x.dtype)
+    q = qkv[:, :C].reshape(nW, N, C)
+    k = qkv[:, C:2 * C].reshape(nW, N, C)
+    v = qkv[:, 2 * C:].reshape(nW, N, C)
+    eb, den, num = _bd_fwd_core(q, k, v, bias_ref,
+                                mask_ref[...] if has_mask else None,
+                                num_heads=h, scale=scale)
+    rden = 1.0 / jnp.maximum(den, 1e-37)
+    ctx_f = num * rden
+    eb_ref[0] = eb
+    rden_ref[0] = rden
+    ctx_ref[0] = ctx_f
+    ctx = ctx_f.astype(x.dtype)
+    attn = jnp.dot(ctx.reshape(nW * N, C), wproj_ref[...],
+                   preferred_element_type=jnp.float32) + bproj_ref[0]
+    attn = attn.reshape(hh, ww, ws, ws, C).transpose(0, 2, 1, 3, 4)
+    attn = attn.reshape(H, W, C)
+    bb = pl.program_id(0)
+    y = (x.astype(jnp.float32) + dp_ref[bb, 0] * attn).astype(x.dtype)
+
+    yn = _ln(y, g2_ref[0], b2_ref[0]).astype(x.dtype)
+    h1 = jnp.dot(yn.reshape(H * W, C), w1_ref[...],
+                 preferred_element_type=jnp.float32) + bm1_ref[0]
+    h1 = _gelu_pass(h1, x.dtype)
+    m = jnp.dot(h1, w2_ref[...],
+                preferred_element_type=jnp.float32) + bm2_ref[0]
+    out = y.astype(jnp.float32) + dp_ref[bb, 1] * m.reshape(H, W, C)
+    if shift:
+        out = _cyc2(out, shift)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def fused_swin_block_res(x, ln1, wqkv, bqkv, wproj, bproj, ln2, w1, b1,
+                         w2, b2, bias, mask, drop_path_scale=None, *,
+                         ws: int, num_heads: int, scale: float,
+                         shift: int = 0, interpret: Optional[bool] = None):
+    """fused_swin_block (train strips) that also returns the attention
+    residuals (eb bf16, rden fp32, ctx fp32) window-major per strip."""
+    assert _softmax_mode() == "rowmax", (
+        "residual-saving train path requires the exact rowmax softmax")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, W, C = x.shape
+    N = ws * ws
+    h = num_heads
+    hN = h * N
+    S = _block_strips(H, W, C, ws, train=True)
+    assert shift == 0 or S == 1
+    Hs = H // S
+    nW = (Hs // ws) * (W // ws)
+
+    if bqkv is None:
+        bqkv = jnp.zeros((3 * C,), jnp.float32)
+    if drop_path_scale is None:
+        drop_path_scale = jnp.ones((B, 2), jnp.float32)
+    has_mask = mask is not None
+    if mask is None:
+        mask_arr = jnp.zeros((1, 1, 1), jnp.float32)
+        mask_block = (1, 1, 1)
+    else:
+        mask_arr = jnp.asarray(mask, jnp.float32)
+        mask_block = (nW, N, N)
+
+    f32row = lambda a, n: a.astype(jnp.float32).reshape(1, n)
+    kernel = functools.partial(_block_fwd_res_kernel, ws=ws, num_heads=h,
+                               scale=float(scale), has_mask=has_mask,
+                               shift=shift)
+    full = lambda *shape: pl.BlockSpec(shape, lambda bb, g: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    wspec = lambda lanes: pl.BlockSpec((1, nW, N, lanes),
+                                       lambda bb, g: (bb, g, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    hidden = w1.shape[1]
+    return pl.pallas_call(
+        kernel,
+        grid=(B, S),
+        in_specs=[
+            pl.BlockSpec((1, Hs, W, C), lambda bb, g: (bb, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(1, C), full(1, C),
+            full(C, 3 * C), full(1, 3 * C),
+            full(C, C), full(1, C),
+            full(1, C), full(1, C),
+            full(C, hidden), full(1, hidden),
+            full(hidden, C), full(1, C),
+            full(h, N, N),
+            pl.BlockSpec(mask_block, lambda bb, g: (g, 0, 0)
+                         if has_mask else (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 2), lambda bb, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hs, W, C), lambda bb, g: (bb, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec(hN), wspec(C), wspec(C),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((B, S * nW, N, hN), x.dtype),
+            jax.ShapeDtypeStruct((B, S * nW, N, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, S * nW, N, C), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(
+            2 * Hs * W * C * x.dtype.itemsize
+            + _tree_bytes(wqkv, wproj, w1, w2)
+            + (h * N * N + int(np.prod(mask_block))) * 4
+            # residual output blocks
+            + nW * N * (hN * x.dtype.itemsize + 2 * C * 4),
+            tmp_bytes=max(
+                Hs * W * 3 * C * 4,
+                3 * Hs * W * C * 2 + _attn_tmp_bytes(nW, N, h, C)
+                + nW * N * C * 4,
+                Hs * W * hidden * 4 + Hs * W * C * 4)
+            + (2 * Hs * W * C * x.dtype.itemsize if shift else 0)),
+    )(x, f32row(ln1[0], C), f32row(ln1[1], C), wqkv,
+      f32row(bqkv, 3 * C), wproj, f32row(bproj, C),
+      f32row(ln2[0], C), f32row(ln2[1], C), w1, f32row(b1, hidden),
+      w2, f32row(b2, C), jnp.asarray(bias, jnp.float32), mask_arr,
+      drop_path_scale.astype(jnp.float32))
+
+
+def _block_bwd_res_kernel(x_ref, dout_ref, eb_ref, rden_ref, ctx_ref,
+                          g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                          bproj_ref, g2_ref, b2_ref, w1_ref, bm1_ref,
+                          w2_ref, bm2_ref, dp_ref,
+                          dx_ref, dg1_ref, db1_ref, dwqkv_ref, dbqkv_ref,
+                          dwproj_ref, dbproj_ref, dg2_ref, db2_ref, dw1_ref,
+                          dbm1_ref, dw2_ref, dbm2_ref, dbias_ref, *,
+                          ws: int, num_heads: int, scale: float,
+                          shift: int = 0, eps: float = 1e-5):
+    """_block_bwd_kernel with the attention softmax state loaded from the
+    forward's residuals instead of recomputed: no K^T eye-dot, score dot,
+    bias/mask adds, per-head max or exp/num/den passes. The rel-pos bias
+    and SW-MSA mask VALUES are not needed at all — they only entered the
+    scores, and dbias falls out of ds."""
+    _, Hs, W, C = x_ref.shape
+    hh, ww = Hs // ws, W // ws
+    nW = hh * ww
+    N = ws * ws
+    T = nW * N
+    h = num_heads
+    hidden = w1_ref.shape[1]
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        for r in (dg1_ref, db1_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
+                  dbproj_ref, dg2_ref, db2_ref, dw1_ref, dbm1_ref, dw2_ref,
+                  dbm2_ref, dbias_ref):
+            r[...] = jnp.zeros_like(r)
+
+    bb = pl.program_id(0)
+    s1 = dp_ref[bb, 0]
+    s2 = dp_ref[bb, 1]
+
+    def _to_windows(t):
+        return (t.reshape(hh, ws, ww, ws, C).transpose(0, 2, 1, 3, 4)
+                .reshape(T, C))
+
+    def _from_windows(t):
+        return (t.reshape(hh, ww, ws, ws, C).transpose(0, 2, 1, 3, 4)
+                .reshape(Hs, W, C))
+
+    # ---- forward recompute: LN1 + QKV only (attention state is loaded)
+    x = x_ref[0]
+    if shift:
+        x = _cyc2(x, -shift)
+    xf = x.astype(jnp.float32)
+    xhat1, inv1 = _ln_stats(x, eps, bwd=True)
+    u = (xhat1 * g1_ref[0] + b1_ref[0]).astype(x.dtype)
+    uw = _to_windows(u)
+    qkv = (jnp.dot(uw, wqkv_ref[...], preferred_element_type=jnp.float32)
+           + bqkv_ref[0]).astype(x.dtype)
+    q = qkv[:, :C].reshape(nW, N, C)
+    k = qkv[:, C:2 * C].reshape(nW, N, C)
+    v = qkv[:, 2 * C:].reshape(nW, N, C)
+    qs = (q.astype(jnp.float32) * scale).astype(x.dtype)
+
+    # One up-front fp32 convert pass (vs ~7 recompute passes). Feeding the
+    # bf16 eb straight into ds/ebT measured WORSE (85.3 vs 84.6 ms/step
+    # b16) — mixed-dtype elementwise inserts converts per consumer, the
+    # same lesson as the bf16-GELU experiment.
+    e = eb_ref[0].astype(jnp.float32)
+    rden = rden_ref[0]
+    ctx_f = ctx_ref[0]
+    ares = (qs, e, rden, ctx_f)
+    ctx = ctx_f.astype(x.dtype).reshape(T, C)
+    attn = (jnp.dot(ctx, wproj_ref[...], preferred_element_type=jnp.float32)
+            + bproj_ref[0])
+    y = (xf + s1 * _from_windows(attn)).astype(x.dtype)
+
+    # ---- forward recompute: LN2 + MLP up to pre-gelu
+    yhat2, inv2 = _ln_stats(y, eps, bwd=True)
+    yn = (yhat2 * g2_ref[0] + b2_ref[0]).astype(x.dtype)
+    yn2 = yn.reshape(Hs * W, C)
+    a = (jnp.dot(yn2, w1_ref[...], preferred_element_type=jnp.float32)
+         + bm1_ref[0])
+    hgelu = _gelu_exact(a).astype(x.dtype)
+
+    # ---- backward: MLP sublayer
+    dout = dout_ref[0]
+    if shift:
+        dout = _cyc2(dout, -shift)
+    dout = dout.astype(jnp.float32)
+    dm = (s2 * dout).reshape(Hs * W, C).astype(x.dtype)
+    dw2_ref[...] += jnp.dot(hgelu.T, dm, preferred_element_type=jnp.float32)
+    dbm2_ref[...] += jnp.sum(dm.astype(jnp.float32), axis=0, keepdims=True)
+    dh = jnp.dot(dm, w2_ref[...].T, preferred_element_type=jnp.float32)
+    da = dh * _gelu_grad(a)
+    dab = da.astype(x.dtype)
+    dw1_ref[...] += jnp.dot(yn2.T, dab, preferred_element_type=jnp.float32)
+    dbm1_ref[...] += jnp.sum(da, axis=0, keepdims=True)
+    dyn = jnp.dot(dab, w1_ref[...].T,
+                  preferred_element_type=jnp.float32).reshape(Hs, W, C)
+
+    dg2_ref[...] += jnp.sum((dyn * yhat2).reshape(Hs * W, C), axis=0,
+                            keepdims=True)
+    db2_ref[...] += jnp.sum(dyn.reshape(Hs * W, C), axis=0, keepdims=True)
+    dy = dout + _ln_bwd_dx(dyn * g2_ref[0], yhat2, inv2)
+
+    # ---- backward: attention sublayer
+    dattnw = _to_windows((s1 * dy).astype(x.dtype))
+    dwproj_ref[...] += jnp.dot(ctx.T, dattnw,
+                               preferred_element_type=jnp.float32)
+    dbproj_ref[...] += jnp.sum(dattnw.astype(jnp.float32), axis=0,
+                               keepdims=True)
+    dctx = jnp.dot(dattnw, wproj_ref[...].T,
+                   preferred_element_type=jnp.float32).reshape(nW, N, C)
+
+    dq, dk, dv, dbias = _attn_core_bwd(q, k, v, ares, dctx,
+                                       num_heads=h, scale=scale, recip=True)
+    dbias_ref[...] += dbias
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1).reshape(T, 3 * C)
+    dwqkv_ref[...] += jnp.dot(uw.T, dqkv.astype(x.dtype),
+                              preferred_element_type=jnp.float32)
+    dbqkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+    du = _from_windows(jnp.dot(dqkv.astype(x.dtype), wqkv_ref[...].T,
+                               preferred_element_type=jnp.float32))
+
+    dg1_ref[...] += jnp.sum((du * xhat1).reshape(Hs * W, C), axis=0,
+                            keepdims=True)
+    db1_ref[...] += jnp.sum(du.reshape(Hs * W, C), axis=0, keepdims=True)
+    dx = dy + _ln_bwd_dx(du * g1_ref[0], xhat1, inv1)
+    if shift:
+        dx = _cyc2(dx, shift)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _block_bwd_impl_res(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s,
+                        ln2_b, w1, b1, w2, b2, eb, rden, ctx, dp, dout,
+                        ws, num_heads, scale, shift=0, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, W, C = x.shape
+    N = ws * ws
+    h = num_heads
+    hN = h * N
+    hidden = w1.shape[1]
+    S = _block_strips(H, W, C, ws)
+    assert shift == 0 or S == 1
+    Hs = H // S
+    nW = (Hs // ws) * (W // ws)
+    bqkv_arr = jnp.zeros((3 * C,), jnp.float32) if bqkv is None else bqkv
+
+    kernel = functools.partial(_block_bwd_res_kernel, ws=ws, num_heads=h,
+                               scale=float(scale), shift=shift)
+    full = lambda *shape: pl.BlockSpec(shape, lambda bb, g: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    strip = lambda: pl.BlockSpec((1, Hs, W, C), lambda bb, g: (bb, g, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    wspec = lambda lanes: pl.BlockSpec((1, nW, N, lanes),
+                                       lambda bb, g: (bb, g, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    f32row = lambda arr, n: arr.astype(jnp.float32).reshape(1, n)
+    cast = lambda arr: arr.astype(x.dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, S),
+        in_specs=[
+            strip(), strip(),
+            wspec(hN), wspec(C), wspec(C),          # eb, rden, ctx
+            full(1, C), full(1, C),                 # ln1
+            full(C, 3 * C), full(1, 3 * C),         # qkv
+            full(C, C), full(1, C),                 # proj
+            full(1, C), full(1, C),                 # ln2
+            full(C, hidden), full(1, hidden),       # fc1
+            full(hidden, C), full(1, C),            # fc2
+            pl.BlockSpec((B, 2), lambda bb, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            strip(),
+            full(1, C), full(1, C),
+            full(C, 3 * C), full(1, 3 * C),
+            full(C, C), full(1, C),
+            full(1, C), full(1, C),
+            full(C, hidden), full(1, hidden),
+            full(hidden, C), full(1, C),
+            full(h, N, N),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((h, N, N), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(
+            3 * Hs * W * C * x.dtype.itemsize
+            # residual input blocks
+            + nW * N * (hN * x.dtype.itemsize + 2 * C * 4)
+            + (4 * C * C + 2 * C * hidden) * x.dtype.itemsize
+            + (4 * C * C + 2 * C * hidden + 2 * h * N * N) * 4,
+            # temporaries: the attention recompute phase is gone; the
+            # loaded-e fp32 conversion replaces the recompute's e and the
+            # bwd peak is unchanged (see _attn_bwd_tmp_bytes blockdiag).
+            tmp_bytes=Hs * W * (3 * C * (x.dtype.itemsize + 4)
+                                + 3 * hidden * 4
+                                + hidden * x.dtype.itemsize + 8 * C * 4)
+            + _attn_bwd_tmp_bytes(nW, N, h, C)
+            + (3 * Hs * W * C * x.dtype.itemsize if shift else 0)),
+    )(x, dout.astype(x.dtype), eb, rden, ctx,
+      f32row(ln1_s, C), f32row(ln1_b, C),
+      cast(wqkv), f32row(bqkv_arr, 3 * C), cast(wproj), f32row(bproj, C),
+      f32row(ln2_s, C), f32row(ln2_b, C), cast(w1), f32row(b1, hidden),
+      cast(w2), f32row(b2, C), dp.astype(jnp.float32))
+    (dx, dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dg2, db2, dw1, dbm1, dw2,
+     dbm2, dbias) = outs
+    return (dx,
+            dg1.reshape(ln1_s.shape).astype(ln1_s.dtype),
+            db1.reshape(ln1_b.shape).astype(ln1_b.dtype),
+            dwqkv.astype(wqkv.dtype),
+            None if bqkv is None else dbqkv.reshape(bqkv.shape).astype(bqkv.dtype),
+            dwproj.astype(wproj.dtype),
+            dbproj.reshape(bproj.shape).astype(bproj.dtype),
+            dg2.reshape(ln2_s.shape).astype(ln2_s.dtype),
+            db2.reshape(ln2_b.shape).astype(ln2_b.dtype),
+            dw1.astype(w1.dtype),
+            dbm1.reshape(b1.shape).astype(b1.dtype),
+            dw2.astype(w2.dtype),
+            dbm2.reshape(b2.shape).astype(b2.dtype),
+            dbias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19))
+def swin_block_trainable_res(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+                             ln2_s, ln2_b, w1, b1, w2, b2, bias, dp,
+                             mask_static, ws, num_heads, scale, shift=0):
+    """swin_block_trainable with the residual-saving backward (see the
+    section comment). The primal is identical math; under vjp the forward
+    also emits eb/rden/ctx and the backward skips the attention-score
+    recompute. Route via bwd_residuals_enabled()."""
+    mask = None if mask_static is None else jnp.asarray(
+        mask_static.arr, jnp.float32)
+    return fused_swin_block(
+        x, (ln1_s, ln1_b), wqkv.astype(x.dtype), bqkv, wproj.astype(x.dtype),
+        bproj, (ln2_s, ln2_b), w1.astype(x.dtype), b1, w2.astype(x.dtype),
+        b2, bias, mask, drop_path_scale=dp, ws=ws, num_heads=num_heads,
+        scale=scale, shift=shift, train=True)
+
+
+def _block_fwd_res(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
+                   w1, b1, w2, b2, bias, dp, mask_static, ws, num_heads,
+                   scale, shift=0):
+    mask = None if mask_static is None else jnp.asarray(
+        mask_static.arr, jnp.float32)
+    out, eb, rden, ctx = fused_swin_block_res(
+        x, (ln1_s, ln1_b), wqkv.astype(x.dtype), bqkv, wproj.astype(x.dtype),
+        bproj, (ln2_s, ln2_b), w1.astype(x.dtype), b1, w2.astype(x.dtype),
+        b2, bias, mask, drop_path_scale=dp, ws=ws, num_heads=num_heads,
+        scale=scale, shift=shift)
+    return out, (x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
+                 w1, b1, w2, b2, dp, eb, rden, ctx)
+
+
+def _block_bwd_res(mask_static, ws, num_heads, scale, shift, res, dout):
+    (x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b, w1, b1, w2,
+     b2, dp, eb, rden, ctx) = res
+    grads = _block_bwd_impl_res(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+                                ln2_s, ln2_b, w1, b1, w2, b2, eb, rden, ctx,
+                                dp, dout, ws, num_heads, scale, shift=shift)
+    # dbias (fp32 from the kernel) + a zero dp cotangent
+    dbias = grads[-1]
+    return grads[:-1] + (dbias.astype(jnp.float32), jnp.zeros_like(dp))
+
+
+swin_block_trainable_res.defvjp(_block_fwd_res, _block_bwd_res)
 
 
 # ---------------------------------------------------------------------------

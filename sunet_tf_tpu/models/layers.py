@@ -370,9 +370,11 @@ class SwinBlock(nnx.Module):
         """Whole-block custom-VJP kernel (Pallas fwd AND bwd) with
         per-sample stochastic-depth scales sampled here."""
         from sunet_tf_tpu.kernels.window_attention import (
+            bwd_residuals_enabled,
             roll_fusable,
             static_mask,
             swin_block_trainable,
+            swin_block_trainable_res,
         )
 
         B, H, W, C = x.shape
@@ -394,7 +396,15 @@ class SwinBlock(nnx.Module):
                      and os.environ.get("SUNET_TRAIN_ROLL_FUSE", "0") == "1"
                      and roll_fusable(H, W, C, self.window_size))
         xr = x if (ss == 0 or fuse_roll) else roll2d(x, -ss)
-        out = swin_block_trainable(
+        # Residual-saving variant for blockdiag geometries (default): the
+        # fwd kernel stores the softmax state so the bwd kernel skips the
+        # score/exp/den recompute (kernels/window_attention.py section
+        # comment; SUNET_BWD_RESID=0 opts out).
+        block_fn = (swin_block_trainable_res
+                    if bwd_residuals_enabled(C, self.attn.num_heads,
+                                             self.window_size ** 2)
+                    else swin_block_trainable)
+        out = block_fn(
             xr, self.norm1.scale[...], self.norm1.bias[...],
             a.qkv.kernel[...],
             None if a.qkv.bias is None else a.qkv.bias[...],
