@@ -966,6 +966,8 @@ def _attn_core_fwd_res(q, k, v, bias_ref, mask, *, num_heads: int,
     d = C // h
     f32 = jnp.float32
     dt = q.dtype
+    import os as _os
+    fake = _os.environ.get("SUNET_BWD_FAKE", "")
     if _attn_layout_bwd(d, N, C) != "blockdiag":
         ps = []
         ctx_heads = []
@@ -978,7 +980,10 @@ def _attn_core_fwd_res(q, k, v, bias_ref, mask, *, num_heads: int,
             s = s + bias_ref[head][None]
             if mask is not None:
                 s = s + mask
-            p = jax.nn.softmax(s, axis=-1)
+            if "noexp" in fake:
+                p = jnp.abs(s)  # timing ablation: wrong values, same cost
+            else:
+                p = jax.nn.softmax(s, axis=-1)
             ps.append(p)
             ctx_heads.append(jax.lax.dot_general(
                 p.astype(dt), v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
@@ -998,8 +1003,6 @@ def _attn_core_fwd_res(q, k, v, bias_ref, mask, *, num_heads: int,
     s = s + jnp.concatenate([bias_ref[i] for i in range(h)], axis=-1)
     if mask is not None:
         s = s + jnp.concatenate([mask] * h, axis=-1)
-    import os as _os
-    fake = _os.environ.get("SUNET_BWD_FAKE", "")
     if "noexp" in fake:
         e = jnp.abs(s)  # timing ablation only: wrong numerics, same shapes
     else:
