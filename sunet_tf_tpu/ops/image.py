@@ -160,9 +160,29 @@ def dihedral(img: jnp.ndarray, op: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.switch(op, branches, img)
 
 
+# Every dihedral-group element factors as (transpose?) then (flip H?) then
+# (flip W?): rot90 = FH∘T, rot270 = FW∘T, rot90∘FH = FH∘FW∘T, rot90∘FW = T.
+# Tables indexed by the reference op id (0..8, dataset_RGB.py:63-84).
+_DH_TR = (0, 0, 0, 1, 0, 1, 1, 1, 0)
+_DH_FH = (0, 1, 0, 1, 1, 0, 1, 0, 0)
+_DH_FW = (0, 0, 1, 0, 1, 1, 1, 0, 0)
+
+
 def dihedral_batch(imgs: jnp.ndarray, ops: jnp.ndarray) -> jnp.ndarray:
-    """vmap of :func:`dihedral` over a (B, H, W, C) batch (square images)."""
-    return jax.vmap(dihedral)(imgs, ops)
+    """Batched :func:`dihedral` over a (B, H, W, C) batch (square images).
+
+    Not a vmapped ``lax.switch`` — that lowers to ``select_n`` over all
+    NINE materialized branches (9 full passes over the batch). The
+    factored form is 3 transform+select passes, and flips/transposes are
+    pure index remaps XLA fuses into the selects. Works on any dtype;
+    the train path runs it on uint8 (4x less bandwidth than fp32).
+    """
+    def pick(table):
+        return jnp.asarray(table, jnp.bool_)[ops][:, None, None, None]
+
+    x = jnp.where(pick(_DH_TR), jnp.swapaxes(imgs, 1, 2), imgs)
+    x = jnp.where(pick(_DH_FH), jnp.flip(x, axis=1), x)
+    return jnp.where(pick(_DH_FW), jnp.flip(x, axis=2), x)
 
 
 def add_awgn(key: jax.Array, clean: jnp.ndarray, sigma: float) -> jnp.ndarray:

@@ -118,14 +118,22 @@ def build_steps(
         return model(x, key=key, constrain=constrain)
 
     def prepare(batch, key):
-        """uint8 batch dict -> float input/target with on-device aug/noise."""
-        inp = _normalize(batch["input"])
-        tar = _normalize(batch["target"])
+        """uint8 batch dict -> float input/target with on-device aug/noise.
+
+        Dihedral aug runs on the uint8 arrays BEFORE normalization (the
+        transforms are pure index remaps, so they commute with the
+        pointwise /255 exactly) — 4x less relayout bandwidth than
+        flipping fp32, and for the denoise task XLA dead-code-eliminates
+        the untouched input branch entirely.
+        """
+        inp, tar = batch["input"], batch["target"]
         if augment:
             kaug, key = jax.random.split(key)
             ops = jax.random.randint(kaug, (inp.shape[0],), 0, 9)
             inp = dihedral_batch(inp, ops)
             tar = dihedral_batch(tar, ops)
+        inp = _normalize(inp)
+        tar = _normalize(tar)
         if task == "denoise":
             knoise, key = jax.random.split(key)
             # input channel is the clean image; synthesize noisy on device

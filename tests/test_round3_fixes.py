@@ -185,3 +185,21 @@ def test_bf16_train_step_compiles_and_runs(tiny_cfg):
         params, opt_state, batch, jax.random.key(0), jnp.uint32(0), {})
     jax.block_until_ready(p)
     assert np.isfinite(float(scalars["loss"]))
+
+
+def test_dihedral_batch_factored_matches_switch():
+    """The factored (transpose?/flipH?/flipW?) dihedral_batch must equal the
+    per-op lax.switch reference for every op id 0..8, on uint8 and fp32
+    (the train path now augments uint8 before normalizing)."""
+    from sunet_tf_tpu.ops.image import dihedral, dihedral_batch
+
+    rng = np.random.default_rng(0)
+    imgs_u8 = rng.integers(0, 255, (9, 6, 6, 3), dtype=np.uint8)
+    ops = jnp.arange(9)
+    ref = jax.vmap(dihedral)(jnp.asarray(imgs_u8), ops)
+    got = dihedral_batch(jnp.asarray(imgs_u8), ops)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    f = jnp.asarray(imgs_u8, jnp.float32) / 255.0
+    np.testing.assert_array_equal(
+        np.asarray(jax.vmap(dihedral)(f, ops)),
+        np.asarray(dihedral_batch(f, ops)))
