@@ -113,7 +113,15 @@ def _fold_tiles(outs: jnp.ndarray, Xh: int, Xw: int, kernel: int,
     wgt = np.zeros((nRb, nCb, 1, 1, 1), np.float32)
     for i in range(q):
         for j in range(q):
-            acc = acc.at[i : i + n_rows, j : j + n_cols].add(ob[:, :, i, j])
+            # Offsets are trace-time constants, so place each term with a
+            # static pad + add (fully fusible) instead of .at[].add — the
+            # scatter lowered to dynamic-update-slices against a hostile
+            # (nRb, nCb, s, s, C) layout costing 14.4 ms/img of the
+            # 72 ms 1024^2 tiled step (xprof, v5e).
+            term = jnp.pad(ob[:, :, i, j],
+                           ((i, nRb - n_rows - i), (j, nCb - n_cols - j),
+                            (0, 0), (0, 0), (0, 0)))
+            acc = acc + term
             wgt[i : i + n_rows, j : j + n_cols] += 1.0
     acc = acc / jnp.asarray(wgt)
     return acc.transpose(0, 2, 1, 3, 4).reshape(Xh, Xw, out_c)
