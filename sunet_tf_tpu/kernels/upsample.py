@@ -586,7 +586,7 @@ def _up4c_strips(H: int, W: int, C: int) -> int:
     return S
 
 
-def fused_dual_upsample4_conv(
+def fused_dual_upsample4_conv_phase(
     x: jnp.ndarray,
     w_exp: jnp.ndarray,
     alpha_p: jnp.ndarray,
@@ -599,11 +599,11 @@ def fused_dual_upsample4_conv(
     *,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """x4 dual up-sample + 3x3 output conv (no bias), one kernel + one
-    cheap XLA depth-to-space. x: (B, H, W, C); wconv: (3, 3, C, out) with
-    16*out <= 128 (the matmul's output lanes). Returns (B, 4H, 4W, out)
-    in x.dtype. Inference only — training keeps the split head (its
-    custom-VJP covers the up4 alone)."""
+    """x4 dual up-sample + 3x3 output conv (no bias) in PHASE SPACE:
+    returns (B, H, W, 16*out) where channel (i*4+j)*out..+out at base
+    (h, w) is the pixel-space output at (4h+i, 4w+j). One kernel; the
+    4x-upsampled map never exists. x: (B, H, W, C); wconv: (3, 3, C, out)
+    with 16*out <= 128 (the matmul's output lanes)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, H, W, C = x.shape
@@ -653,8 +653,399 @@ def fused_dual_upsample4_conv(
     )(x, x, x, wexp_s.astype(x.dtype), w_b1.astype(x.dtype),
       b_b1.astype(jnp.float32).reshape(1, C), wpf.astype(x.dtype),
       wbf.astype(x.dtype), wfold.astype(x.dtype), alphas)
-    # depth-to-space: (B, H, W, 16*out) -> (B, 4H, 4W, out); a small XLA
-    # transpose (the tensor is 16*C/out times smaller than the upsampled
-    # feature map the split head wrote).
+    return o
+
+
+def phase_to_pixel(o: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 16*out) phase tensor -> (B, 4H, 4W, out) pixels; a small
+    XLA depth-to-space (the tensor is 16*C/out times smaller than the
+    upsampled feature map the split head wrote)."""
+    B, H, W, O = o.shape
+    out_ch = O // 16
     o = o.reshape(B, H, W, 4, 4, out_ch).transpose(0, 1, 3, 2, 4, 5)
     return o.reshape(B, 4 * H, 4 * W, out_ch)
+
+
+def fused_dual_upsample4_conv(
+    x: jnp.ndarray,
+    w_exp: jnp.ndarray,
+    alpha_p: jnp.ndarray,
+    w_b1: jnp.ndarray,
+    b_b1: jnp.ndarray,
+    alpha_b: jnp.ndarray,
+    wpf: jnp.ndarray,
+    wbf: jnp.ndarray,
+    wconv: jnp.ndarray,
+    *,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """x4 dual up-sample + 3x3 output conv (no bias), one kernel + one
+    cheap XLA depth-to-space. Returns (B, 4H, 4W, out) in x.dtype.
+    Inference path; training routes dual_upsample4_conv_trainable."""
+    return phase_to_pixel(fused_dual_upsample4_conv_phase(
+        x, w_exp, alpha_p, w_b1, b_b1, alpha_b, wpf, wbf, wconv,
+        interpret=interpret))
+
+
+# ---------------------------------------------------------------------------
+# Trainable head+conv: ONE custom-VJP for the phase-space x4 head AND the
+# 3x3 output conv. Forward = fused_dual_upsample4_conv_phase; backward is a
+# single kernel that recomputes the 16 phase maps in VMEM, pulls the conv
+# adjoint back through the 36 slot shifts, runs the per-phase stencil
+# adjoints, and accumulates fp32 weight grads across the sequential grid.
+#
+# Why: the split training head materialized the (B, 4H, 4W, C) map in HBM
+# (201 MB bf16 at batch 16) and round-tripped it through the XLA output
+# conv in BOTH directions — up4 fwd 1.72 ms + conv fwd 0.99 + relayout
+# copy 0.82 + conv dx 0.41 + conv dW 0.69 + up4 bwd 1.54 = 6.2 ms of the
+# 84.6 ms b16 train step (xprof, v5e). In phase space the biggest live
+# tensor is (B, H, W, 16*out).
+#
+# Backward halo: output base row o's conv+stencil taps reach x rows
+# o-2..o+2, so dx needs TWO dout rows of halo per side — delivered as
+# 2-row edge blocks with clamped index maps, zeroed at the image edge
+# in-kernel. Adjoint index map (ext phase row my = m+1, m in -1..Hs):
+# dy_s[my] += unshiftW(dOe[my - dh + 1] @ wslotT) per contributing slot,
+# with the forward's conv zero-pad masks re-applied (top strip: output
+# row 0's dh=-1 slot; bottom strip: output row Hs-1's dh=+1 slot).
+# Weight grads accumulate over OWN rows only (my 1..Hs) — ext rows are
+# recomputed by the neighboring strip, which owns them.
+# ---------------------------------------------------------------------------
+
+
+def _up4c_bwd_kernel(xp_ref, xc_ref, xn_ref, dop_ref, doc_ref, don_ref,
+                     wexp_ref, wexpT_ref, wb1_ref, wb1T_ref, bb1_ref,
+                     wpf_ref, wpfT_ref, wbf_ref, wbfT_ref, wslotT_ref,
+                     alpha_ref, dx_ref, dwexp_ref, dwb1_ref, dbb1_ref,
+                     dwpf_ref, dwbf_ref, dap_ref, dab_ref, dwfold_ref, *,
+                     S: int, out_ch: int):
+    _, Hs, W, C = xc_ref.shape
+    O = 16 * out_ch
+    f32 = jnp.float32
+    dt = xc_ref.dtype
+    g = pl.program_id(1)
+    top = g == 0
+    bot = g == S - 1
+    topv = jnp.where(top, 0.0, 1.0)
+    botv = jnp.where(bot, 0.0, 1.0)
+    tv_dt = topv.astype(dt)
+    bv_dt = botv.astype(dt)
+    first = jnp.logical_and(pl.program_id(0) == 0, g == 0)
+
+    @pl.when(first)
+    def _init():
+        for r in (dwexp_ref, dwb1_ref, dbb1_ref, dwpf_ref, dwbf_ref,
+                  dap_ref, dab_ref, dwfold_ref):
+            r[...] = jnp.zeros_like(r)
+
+    xc = xc_ref[0]
+    ap = alpha_ref[0, 0]
+    ab = alpha_ref[0, 1]
+
+    # ---- forward recompute (identical to _up4_conv_kernel) ----
+    p1 = jnp.where(top, xc[0:1], xp_ref[0, Hs - 1:Hs])
+    p2 = jnp.where(top, xc[0:1], xp_ref[0, Hs - 2:Hs - 1])
+    n1 = jnp.where(bot, xc[Hs - 1:Hs], xn_ref[0, 0:1])
+    n2 = jnp.where(bot, xc[Hs - 1:Hs], xn_ref[0, 1:2])
+    x1 = jnp.concatenate([p1, xc, n1], axis=0)           # (Hs+2, W, C)
+    x2 = jnp.concatenate([p2, x1, n2], axis=0)           # (Hs+4, W, C)
+    zb2 = jnp.dot(x2.reshape((Hs + 4) * W, C), wb1_ref[...],
+                  preferred_element_type=f32) + bb1_ref[0]
+    xb = jnp.dot(_prelu(zb2, ab).astype(dt), wbf_ref[...],
+                 preferred_element_type=f32).reshape(Hs + 4, W, C)
+    rows = lambda o: xb[o:o + Hs + 2]
+    htaps = ((rows(0), rows(1)), (rows(0), rows(1)),
+             (rows(1), rows(2)), (rows(1), rows(2)))
+    t1 = x1.reshape((Hs + 2) * W, C)
+    y = []
+    for i in range(4):
+        (a, b), (lo, hi) = _P4[i], htaps[i]
+        yh = a * lo + b * hi
+        t0 = jnp.concatenate([yh[:, 0:1], yh[:, :W - 1]], axis=1)
+        t2 = jnp.concatenate([yh[:, 1:], yh[:, W - 1:]], axis=1)
+        wtaps = ((t0, yh), (t0, yh), (yh, t2), (yh, t2))
+        for j in range(4):
+            z = jnp.dot(t1, wexp_ref[i * 4 + j], preferred_element_type=f32)
+            ps = jnp.dot(_prelu(z, ap).astype(dt), wpf_ref[...],
+                         preferred_element_type=f32)
+            (aw, bw), (wl, wh) = _P4[j], wtaps[j]
+            y.append((ps.reshape(Hs + 2, W, C)
+                      + (aw * wl + bw * wh)).astype(dt))
+
+    # ---- dwfold: per-slot t^T @ dout over own output rows (forward
+    # slot construction, including the conv zero-pad edge masks) ----
+    doc_b = doc_ref[0].astype(dt)
+    docm = doc_b.reshape(Hs * W, O)
+    zcol = jnp.zeros((Hs, 1, C), dt)
+    n = 0
+    for dh, pi in _USLOTS:
+        for dw, pj in _USLOTS:
+            t = y[pi * 4 + pj][1 + dh:1 + dh + Hs]
+            if dw == -1:
+                t = jnp.concatenate([zcol, t[:, :W - 1]], axis=1)
+            elif dw == 1:
+                t = jnp.concatenate([t[:, 1:], zcol], axis=1)
+            if dh == -1:
+                t = jnp.concatenate([t[0:1] * tv_dt, t[1:]], axis=0)
+            elif dh == 1:
+                t = jnp.concatenate([t[:Hs - 1], t[Hs - 1:] * bv_dt], axis=0)
+            dwfold_ref[n] += jnp.dot(t.reshape(Hs * W, C).T, docm,
+                                     preferred_element_type=f32)
+            n += 1
+
+    # ---- dout with 2-row halo (zeroed at image edges) ----
+    dope = dop_ref[0].astype(dt) * tv_dt
+    done = don_ref[0].astype(dt) * bv_dt
+    dOe = jnp.concatenate([dope, doc_b, done], axis=0)   # (Hs+4, W, O)
+
+    dx = jnp.zeros((Hs * W, C), f32)
+    dyhb = [jnp.zeros((Hs + 2, W, C), f32) for _ in range(4)]
+    dapc = jnp.zeros((1, C), f32)
+    t_own = xc.reshape(Hs * W, C)
+    zcol_f = jnp.zeros((Hs + 2, 1, C), f32)
+    for i in range(4):
+        for j in range(4):
+            s = i * 4 + j
+            dy = jnp.zeros((Hs + 2, W, C), f32)
+            for uh, (dh, pi) in enumerate(_USLOTS):
+                if pi != i:
+                    continue
+                for uw, (dw, pj) in enumerate(_USLOTS):
+                    if pj != j:
+                        continue
+                    sl = dOe[1 - dh:Hs + 3 - dh]         # (Hs+2, W, O)
+                    if dh == -1:                          # fwd masked o=0@top
+                        sl = jnp.concatenate([sl[0:1] * tv_dt, sl[1:]],
+                                             axis=0)
+                    elif dh == 1:                         # o=Hs-1@bot
+                        sl = jnp.concatenate([sl[:Hs + 1],
+                                              sl[Hs + 1:] * bv_dt], axis=0)
+                    gs = jnp.dot(sl.reshape((Hs + 2) * W, O),
+                                 wslotT_ref[uh * 6 + uw],
+                                 preferred_element_type=f32
+                                 ).reshape(Hs + 2, W, C)
+                    if dw == -1:
+                        gs = jnp.concatenate([gs[:, 1:], zcol_f], axis=1)
+                    elif dw == 1:
+                        gs = jnp.concatenate([zcol_f, gs[:, :W - 1]], axis=1)
+                    dy = dy + gs
+            # -- PixelShuffle path (own rows my = 1..Hs) --
+            dy_own_b = dy[1:Hs + 1].reshape(Hs * W, C).astype(dt)
+            z_own = jnp.dot(t_own, wexp_ref[s], preferred_element_type=f32)
+            a_own = _prelu(z_own, ap).astype(dt)
+            dwpf_ref[...] += jnp.dot(a_own.T, dy_own_b,
+                                     preferred_element_type=f32)
+            dpre = jnp.dot(dy_own_b, wpfT_ref[...],
+                           preferred_element_type=f32)
+            dz = jnp.where(z_own > 0, dpre, ap * dpre)
+            dapc += jnp.sum(jnp.minimum(z_own, 0.0) * dpre, axis=0,
+                            keepdims=True)
+            dzb16 = dz.astype(dt)
+            dwexp_ref[s] += jnp.dot(t_own.T, dzb16,
+                                    preferred_element_type=f32)
+            dx += jnp.dot(dzb16, wexpT_ref[s], preferred_element_type=f32)
+            # -- W-stencil adjoint into the per-i accumulators --
+            aw, bw = _P4[j]
+            if j < 2:    # y_ij = aw*t0 + bw*yh, t0 left-clamped shift
+                d0 = aw * dy
+                dyhb[i] = dyhb[i] + bw * dy + jnp.concatenate(
+                    [d0[:, 0:1] + d0[:, 1:2], d0[:, 2:],
+                     jnp.zeros_like(d0[:, :1])], axis=1)
+            else:        # y_ij = aw*yh + bw*t2, t2 right-clamped shift
+                d2 = bw * dy
+                dyhb[i] = dyhb[i] + aw * dy + jnp.concatenate(
+                    [jnp.zeros_like(d2[:, :1]), d2[:, :W - 2],
+                     d2[:, W - 2:W - 1] + d2[:, W - 1:]], axis=1)
+    dap_ref[...] += dapc
+
+    # ---- H-axis stencil adjoint (same structure/edge rules as
+    # _up4_bwd_kernel; dyhb rows my = m+1, m in -1..Hs) ----
+    D0, D1, D2, D3 = dyhb
+    core = (0.625 * D0[1:Hs + 1] + 0.875 * D1[1:Hs + 1]
+            + 0.875 * D2[1:Hs + 1] + 0.625 * D3[1:Hs + 1])
+    plusH = 0.375 * D0 + 0.125 * D1      # a-taps of phases 0,1 at [k+2]
+    minusH = 0.125 * D2 + 0.375 * D3     # b-taps of phases 2,3 at [k]
+    dxb = (core
+           + jnp.concatenate([plusH[2:Hs + 1],
+                              plusH[Hs + 1:Hs + 2] * botv], axis=0)
+           + jnp.concatenate([minusH[0:1] * topv, minusH[1:Hs]], axis=0))
+    edge_top = (1.0 - topv) * (0.375 * D0[1] + 0.125 * D1[1])
+    edge_bot = (1.0 - botv) * (0.125 * D2[Hs] + 0.375 * D3[Hs])
+    dxb = jnp.concatenate([dxb[0:1] + edge_top[None], dxb[1:]], axis=0)
+    dxb = jnp.concatenate([dxb[:Hs - 1], dxb[Hs - 1:] + edge_bot[None]],
+                          axis=0).reshape(Hs * W, C)
+
+    # ---- bilinear 1x1 chain (own rows; zb row k lives at x2 index k+2) --
+    zb_own = zb2.reshape(Hs + 4, W, C)[2:Hs + 2].reshape(Hs * W, C)
+    abv = _prelu(zb_own, ab).astype(dt)
+    dxb_b = dxb.astype(dt)
+    dwbf_ref[...] += jnp.dot(abv.T, dxb_b, preferred_element_type=f32)
+    dab_mat = jnp.dot(dxb_b, wbfT_ref[...], preferred_element_type=f32)
+    dzb = jnp.where(zb_own > 0, dab_mat, ab * dab_mat)
+    dab_ref[...] += jnp.sum(jnp.minimum(zb_own, 0.0) * dab_mat, axis=0,
+                            keepdims=True)
+    dzb_b = dzb.astype(dt)
+    dwb1_ref[...] += jnp.dot(t_own.T, dzb_b, preferred_element_type=f32)
+    dbb1_ref[...] += jnp.sum(dzb, axis=0, keepdims=True)
+    dx += jnp.dot(dzb_b, wb1T_ref[...], preferred_element_type=f32)
+
+    dx_ref[0] = dx.reshape(Hs, W, C).astype(dx_ref.dtype)
+
+
+def _up4c_bwd_tmp_bytes(Hs: int, W: int, C: int, out_ch: int) -> int:
+    """Peak temporaries: fwd recompute (16 bf16 phase maps + xb/zb2) +
+    dOe + 4 fp32 dyhb accumulators + the per-phase dy/slot transients."""
+    pc = _pad128(C)
+    pO = _pad128(16 * out_ch)
+    return (16 * (Hs + 2) * W * pc * 2       # y phases bf16
+            + (Hs + 4) * W * pc * 12         # x2/zb2/xb chains
+            + (Hs + 4) * W * pO * 4          # dOe + doc copies
+            + 4 * (Hs + 2) * W * pc * 4      # dyhb fp32
+            + (Hs + 2) * W * pc * 16         # dy + slot matmul transients
+            + Hs * W * pc * 12)              # dx + own-row chains
+
+
+def _up4c_bwd_strips(H: int, W: int, C: int, out_ch: int) -> int:
+    cap = int(_os.environ.get("SUNET_UP4C_BWD_CAP_MB", "30")) * 1024 * 1024
+    S = 1
+    while (H % (S * 2) == 0 and (H // S) % 2 == 0 and H // S > 2
+           and _up4c_bwd_tmp_bytes(H // S, W, C, out_ch) > cap):
+        S *= 2
+    return S
+
+
+def unfold_output_conv4_grad(dwfold: jnp.ndarray, C: int,
+                             out_ch: int) -> jnp.ndarray:
+    """Adjoint of fold_output_conv4: (36, C, 16*out) per-slot grads ->
+    (3, 3, C, out) conv weight grads (sum over the 16 output-phase
+    placements of each tap)."""
+    idx = {u: n for n, u in enumerate(_USLOTS)}
+    dw = jnp.zeros((3, 3, C, out_ch), dwfold.dtype)
+    for i in range(4):
+        for j in range(4):
+            col = (i * 4 + j) * out_ch
+            for dy in (-1, 0, 1):
+                hi = i + dy
+                uh = idx[(-1 if hi < 0 else (1 if hi > 3 else 0), hi % 4)]
+                for dx_ in (-1, 0, 1):
+                    wi = j + dx_
+                    uw = idx[(-1 if wi < 0 else (1 if wi > 3 else 0),
+                              wi % 4)]
+                    dw = dw.at[dy + 1, dx_ + 1].add(
+                        dwfold[uh * 6 + uw, :, col:col + out_ch])
+    return dw
+
+
+def _up4c_bwd_impl(x, w_exp, alpha_p, w_b1, b_b1, alpha_b, wpf, wbf,
+                   wconv, dout, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, W, C = x.shape
+    out_ch = wconv.shape[-1]
+    O = 16 * out_ch
+    S = _up4c_bwd_strips(H, W, C, out_ch)
+    Hs = H // S
+    h2 = Hs // 2
+    wexp_s = w_exp.reshape(C, C, 16).transpose(2, 0, 1)
+    wexpT_s = wexp_s.transpose(0, 2, 1)
+    wfold = fold_output_conv4(wconv)
+    wslotT = wfold.reshape(36, C, O).transpose(0, 2, 1)   # (36, O, C)
+    alphas = jnp.stack([alpha_p.reshape(()), alpha_b.reshape(())]
+                       ).astype(jnp.float32).reshape(1, 2)
+    cast = lambda a: a.astype(x.dtype)
+    full = lambda *shape: pl.BlockSpec(shape, lambda bb, g: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    strip = lambda fn: pl.BlockSpec((1, Hs, W, C),
+                                    lambda bb, g: (bb, fn(g), 0, 0),
+                                    memory_space=pltpu.VMEM)
+    # 2-row edge blocks of dout: previous strip's last two rows / next
+    # strip's first two (clamped at the image edge, zeroed in-kernel)
+    edge = lambda fn: pl.BlockSpec((1, 2, W, O),
+                                   lambda bb, g: (bb, fn(g), 0, 0),
+                                   memory_space=pltpu.VMEM)
+    dob = dout.astype(x.dtype)
+    kernel = functools.partial(_up4c_bwd_kernel, S=S, out_ch=out_ch)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, S),
+        in_specs=[
+            strip(lambda g: jnp.maximum(g - 1, 0)),
+            strip(lambda g: g),
+            strip(lambda g: jnp.minimum(g + 1, S - 1)),
+            edge(lambda g: jnp.maximum(g * h2 - 1, 0)),
+            pl.BlockSpec((1, Hs, W, O), lambda bb, g: (bb, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            edge(lambda g: jnp.minimum((g + 1) * h2, H // 2 - 1)),
+            full(16, C, C), full(16, C, C),
+            full(C, C), full(C, C), full(1, C),
+            full(C, C), full(C, C), full(C, C), full(C, C),
+            full(36, O, C),
+            pl.BlockSpec((1, 2), lambda bb, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hs, W, C), lambda bb, g: (bb, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(16, C, C), full(C, C), full(1, C),
+            full(C, C), full(C, C), full(1, C), full(1, C),
+            full(36, C, O),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((16, C, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((36, C, O), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(
+            (3 * Hs + Hs + 4) * W * max(C, O) * x.dtype.itemsize
+            + _tree_bytes(wexp_s, wexpT_s, w_b1, wpf, wbf) * x.dtype.itemsize
+            // 4 + 36 * O * C * x.dtype.itemsize,
+            tmp_bytes=_up4c_bwd_tmp_bytes(Hs, W, C, out_ch)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * C * (C * 60 + O * 72),
+            bytes_accessed=5 * B * H * W * C * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, x, x, dob, dob, dob, cast(wexp_s), cast(wexpT_s), cast(w_b1),
+      cast(w_b1.T), b_b1.astype(jnp.float32).reshape(1, C), cast(wpf),
+      cast(wpf.T), cast(wbf), cast(wbf.T), cast(wslotT), alphas)
+    (dx, dwexp, dwb1, dbb1, dwpf, dwbf, dapc, dabc, dwfold) = outs
+    dw_exp = dwexp.transpose(1, 2, 0).reshape(C, 16 * C)
+    dwconv = unfold_output_conv4_grad(dwfold, C, out_ch)
+    return (dx, dw_exp.astype(w_exp.dtype),
+            jnp.sum(dapc).reshape(alpha_p.shape).astype(alpha_p.dtype),
+            dwb1.astype(w_b1.dtype),
+            dbb1.reshape(b_b1.shape).astype(b_b1.dtype),
+            jnp.sum(dabc).reshape(alpha_b.shape).astype(alpha_b.dtype),
+            dwpf.astype(wpf.dtype), dwbf.astype(wbf.dtype),
+            dwconv.astype(wconv.dtype))
+
+
+@jax.custom_vjp
+def dual_upsample4_conv_trainable(x, w_exp, alpha_p, w_b1, b_b1, alpha_b,
+                                  wpf, wbf, wconv):
+    """Differentiable phase-space x4 head + 3x3 output conv (Pallas fwd
+    AND bwd). Returns (B, H, W, 16*out); phase_to_pixel() gives pixels.
+    Same math as fused_dual_upsample4_conv (reference
+    model/SUNet_detail.py:353-363 head + :753 output conv)."""
+    return fused_dual_upsample4_conv_phase(x, w_exp, alpha_p, w_b1, b_b1,
+                                           alpha_b, wpf, wbf, wconv)
+
+
+def _up4c_fwd(x, w_exp, alpha_p, w_b1, b_b1, alpha_b, wpf, wbf, wconv):
+    out = fused_dual_upsample4_conv_phase(x, w_exp, alpha_p, w_b1, b_b1,
+                                          alpha_b, wpf, wbf, wconv)
+    return out, (x, w_exp, alpha_p, w_b1, b_b1, alpha_b, wpf, wbf, wconv)
+
+
+def _up4c_bwd(res, dout):
+    return _up4c_bwd_impl(*res, dout)
+
+
+dual_upsample4_conv_trainable.defvjp(_up4c_fwd, _up4c_bwd)

@@ -622,3 +622,25 @@ class DualUpsample(nnx.Module):
             self.up_b_act.alpha[...],
             self.up_p_conv2.lin.kernel[...] @ wp,
             self.up_b_conv2.lin.kernel[...] @ wb, wconv)
+
+    def conv_head_trainable(self, x: jnp.ndarray,
+                            wconv: jnp.ndarray) -> jnp.ndarray:
+        """Differentiable x4 head + 3x3 output conv: single-kernel Pallas
+        forward AND backward (kernels/upsample.py custom VJP), returning
+        PIXEL-space logits via a cheap depth-to-space. Unlike the split
+        training path this never materializes the (B, 4H, 4W, C) head
+        output in HBM (reference model/SUNet_detail.py:736-746 + :753)."""
+        assert self.factor == 4
+        out_ch = self.mix.lin.kernel.shape[1]
+        wp = self.mix.lin.kernel[...][:out_ch]
+        wb = self.mix.lin.kernel[...][out_ch:]
+        from sunet_tf_tpu.kernels.upsample import (
+            dual_upsample4_conv_trainable, phase_to_pixel)
+
+        phase = dual_upsample4_conv_trainable(
+            x, self.up_p_conv1.lin.kernel[...], self.up_p_act.alpha[...],
+            self.up_b_conv1.lin.kernel[...], self.up_b_conv1.lin.bias[...],
+            self.up_b_act.alpha[...],
+            self.up_p_conv2.lin.kernel[...] @ wp,
+            self.up_b_conv2.lin.kernel[...] @ wb, wconv)
+        return phase_to_pixel(phase)

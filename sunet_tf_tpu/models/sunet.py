@@ -293,14 +293,26 @@ class SUNet(nnx.Module):
         # kernels/upsample.py::fused_dual_upsample4_conv). The split head
         # + XLA conv remains the training path (the up4 custom-VJP covers
         # the head alone) and the opt-out (SUNET_UP4_CONV_FUSED=0).
-        if (key is None and constrain is None
+        if (constrain is None
                 and getattr(self.up_final, "backend", "xla") == "pallas"
                 and os.environ.get("SUNET_UP4_CONV_FUSED", "1") != "0"
                 and os.environ.get("SUNET_UP4_FUSED", "1") != "0"
                 and 16 * cfg.out_chans <= 128):
-            out = self.up_final.fused_conv_head(
-                feats, self.output.conv.kernel[...].astype(feats.dtype))
-            return out.astype(jnp.float32)
+            wconv = self.output.conv.kernel[...].astype(feats.dtype)
+            if key is None:
+                out = self.up_final.fused_conv_head(feats, wconv)
+                return out.astype(jnp.float32)
+            # Training: same phase-space kernel behind a custom VJP whose
+            # backward is a single kernel too — the split path's
+            # (B, 4H, 4W, C) head output + XLA conv round trips cost
+            # 6.2 ms of the 84.6 ms b16 train step (xprof, v5e).
+            # SUNET_UP4_CONV_FUSED_TRAIN=0 opts out (falls through to the
+            # split head + XLA output conv below).
+            if (up4_train
+                    and os.environ.get("SUNET_UP4_CONV_FUSED_TRAIN", "1")
+                    == "1"):
+                out = self.up_final.conv_head_trainable(feats, wconv)
+                return out.astype(jnp.float32)
         feats = c(self.up_final(feats, fused=key is None or up4_train))
         out = self.output(feats)
         return out.astype(jnp.float32)

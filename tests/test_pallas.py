@@ -306,3 +306,63 @@ def test_fused_dual_upsample4_full_model_grad(monkeypatch):
 
     g = jax.jit(jax.grad(loss))(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_up4_conv_trainable_grads_match_xla():
+    """The phase-space head+conv custom-VJP backward kernel (conv slot
+    adjoint with 2-row dout halo, per-phase stencil adjoints, in-kernel
+    dwfold accumulation + host unfold) must match jax.grad of the XLA
+    split path (DualUpsample + zero-padded 3x3 conv) for x AND every
+    weight including wconv."""
+    from sunet_tf_tpu.kernels.upsample import phase_to_pixel
+    from sunet_tf_tpu.models.layers import DualUpsample
+
+    C, H, out = 32, 16, 3
+    m = DualUpsample(C, 4, backend="pallas", rngs=nnx.Rngs(0))
+    gd, params = nnx.split(m, nnx.Param)
+    wconv = jax.random.normal(jax.random.key(7), (3, 3, C, out),
+                              jnp.float32) * 0.1
+    x = jax.random.normal(jax.random.key(1), (2, H, H, C), jnp.float32)
+    tgt = jax.random.normal(jax.random.key(2), (2, 4 * H, 4 * H, out))
+
+    def loss_fused(p, x, w):
+        mm = nnx.merge(gd, p)
+        return jnp.sum(mm.conv_head_trainable(x, w) * tgt)
+
+    def loss_split(p, x, w):
+        mm = nnx.merge(gd, p)
+        return jnp.sum(_conv3x3_nobias(mm(x, fused=False), w) * tgt)
+
+    gk = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(params, x, wconv)
+    gx = jax.jit(jax.grad(loss_split, argnums=(0, 1, 2)))(params, x, wconv)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_up4_conv_trainable_grads_multistrip(monkeypatch):
+    """Small strip caps force S>1 in BOTH the forward and backward phase
+    kernels: the 2-row dout halo blocks, per-strip conv zero-pad masks,
+    and clamped bilinear edges must reproduce the single-strip grads."""
+    from sunet_tf_tpu.kernels.upsample import _up4c_bwd_strips, _up4c_strips
+    from sunet_tf_tpu.models.layers import DualUpsample
+
+    C, H, out = 32, 16, 1
+    m = DualUpsample(C, 4, backend="pallas", rngs=nnx.Rngs(0))
+    gd, params = nnx.split(m, nnx.Param)
+    wconv = jax.random.normal(jax.random.key(7), (3, 3, C, out),
+                              jnp.float32) * 0.1
+    x = jax.random.normal(jax.random.key(1), (1, H, H, C), jnp.float32)
+    tgt = jax.random.normal(jax.random.key(2), (1, 4 * H, 4 * H, out))
+
+    def loss(p, x, w):
+        return jnp.sum(nnx.merge(gd, p).conv_head_trainable(x, w) * tgt)
+
+    one = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(params, x, wconv)
+    monkeypatch.setenv("SUNET_UP4C_CAP_MB", "1")
+    monkeypatch.setenv("SUNET_UP4C_BWD_CAP_MB", "1")
+    assert _up4c_strips(H, H, C) > 1 and _up4c_bwd_strips(H, H, C, out) > 1
+    multi = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(params, x, wconv)
+    for a, b in zip(jax.tree.leaves(one), jax.tree.leaves(multi)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
