@@ -203,3 +203,36 @@ def test_dihedral_batch_factored_matches_switch():
     np.testing.assert_array_equal(
         np.asarray(jax.vmap(dihedral)(f, ops)),
         np.asarray(dihedral_batch(f, ops)))
+
+
+def test_train_conv_head_routing_matches_split(monkeypatch):
+    """Full tiny model, pallas backend, TRAINING path (key given): the
+    default routing (phase-space head+conv custom VJP,
+    SUNET_UP4_CONV_FUSED_TRAIN=1) must match the split head + XLA conv
+    path in value AND gradients."""
+    from flax import nnx as _nnx
+
+    from sunet_tf_tpu.config import tiny_config
+    from sunet_tf_tpu.models.sunet import build_model
+
+    cfg = tiny_config()
+    cfg = cfg.replace(tpu=cfg.tpu.__class__(compute_dtype="float32",
+                                            attention_backend="pallas"))
+    model = build_model(cfg, seed=0)
+    gd, params = _nnx.split(model, _nnx.Param)
+    x = jax.random.uniform(jax.random.key(2), (1, 64, 64, 3), jnp.float32)
+    k = jax.random.key(5)
+
+    def loss(p):
+        y = _nnx.merge(gd, p)(x, key=k)
+        return jnp.mean(y * y), y
+
+    monkeypatch.setenv("SUNET_UP4_CONV_FUSED_TRAIN", "1")
+    (lf, yf), gf = jax.jit(jax.value_and_grad(loss, has_aux=True))(params)
+    monkeypatch.setenv("SUNET_UP4_CONV_FUSED_TRAIN", "0")
+    (ls, ys), gs = jax.jit(jax.value_and_grad(loss, has_aux=True))(params)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(ys),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Profile a bench workload on the real chip and print the op-time ledger.
+
+The TPU-side replacement for the reference's wall-clock-only timing
+(train.py:302,731): captures a jax.profiler trace of N steps of a chosen
+workload, then aggregates the device XLA-op timeline into (a) buckets by
+op base name and (b) the top individual ops — the exact methodology that
+drove this repo's round-3 wins (the tiled fold scatter and the pixel-space
+train head tail were both found here; see CLAUDE.md).
+
+Usage:
+    python tools/xprof_top.py train [batch]    # full denoise train step
+    python tools/xprof_top.py infer [batch]    # headline forward
+    python tools/xprof_top.py tiled            # 1024^2 stride-128 tiled
+
+The op ledger is exact: summed op self-time equals the step time, so
+"unaccounted" gaps are impossible by construction (host-side per-step
+timing through the remote tunnel both under- and over-counts).
+"""
+
+import glob
+import os
+import re
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_STEPS = 3
+
+
+def _capture(mode: str, batch: int, logdir: str) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    from bench import _build
+    from sunet_tf_tpu.config import Config
+
+    if mode == "train":
+        import functools as ft
+
+        from sunet_tf_tpu.train.loop import build_steps, make_optimizer
+
+        base = Config()
+        base = base.replace(swinunet=base.swinunet.__class__(
+            **{**base.swinunet.__dict__, "out_chans": 3}))
+        cfg, model, graphdef, params = _build(base, "pallas")
+        tx = make_optimizer(cfg, steps_per_epoch=100)
+        opt_state = tx.init(params)
+        fns = build_steps(cfg, graphdef, tx, task="denoise", sigma=50.0)
+        rngb = np.random.default_rng(0)
+        b = {k: jnp.asarray(rngb.integers(0, 255, (batch, 256, 256, 3),
+                                          dtype=np.uint8))
+             for k in ("input", "target")}
+        rng = jax.random.key(0)
+
+        @ft.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, b, i):
+            p, o, sc, _ = fns.train_step(params, opt_state, b, rng, i, {})
+            return p, o, sc["loss"]
+
+        params, opt_state, loss = step(params, opt_state, b, jnp.uint32(0))
+        jax.block_until_ready(loss)
+        jax.profiler.start_trace(logdir)
+        for i in range(N_STEPS):
+            params, opt_state, loss = step(params, opt_state, b,
+                                           jnp.uint32(i + 1))
+        jax.block_until_ready(loss)
+        jax.profiler.stop_trace()
+        return
+
+    cfg, model, graphdef, params = _build(Config(), "pallas")
+    if mode == "infer":
+        x = jax.random.uniform(jax.random.key(0), (batch, 256, 256, 3),
+                               jnp.float32)
+        fwd = jax.jit(lambda p, x: nnx.merge(graphdef, p)(x))
+        run = lambda: fwd(params, x)
+    elif mode == "tiled":
+        from sunet_tf_tpu.infer.tiled import tiled_inference
+
+        model_fn = lambda p, t: nnx.merge(graphdef, p)(t)
+        img = jax.random.uniform(jax.random.key(0), (1, 1024, 1024, 3),
+                                 jnp.float32)
+        one = jax.jit(lambda p, im: tiled_inference(
+            model_fn, im, p, kernel=256, stride=128, tile_batch=64))
+        run = lambda: one(params, img)
+    else:
+        raise SystemExit(f"unknown mode {mode!r} (train|infer|tiled)")
+    jax.block_until_ready(run())
+    jax.profiler.start_trace(logdir)
+    y = None
+    for _ in range(N_STEPS):
+        y = run()
+    jax.block_until_ready(y)
+    jax.profiler.stop_trace()
+
+
+def report(logdir: str, top: int = 25) -> None:
+    paths = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
+    assert paths, f"no xplane under {logdir}"
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(max(paths, key=os.path.getmtime), "rb") as f:
+        xs.ParseFromString(f.read())
+    full = defaultdict(float)
+    fcnt = defaultdict(int)
+    buck = defaultdict(float)
+    bcnt = defaultdict(int)
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        md = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = md.get(ev.metadata_id, "?")
+                ms = ev.duration_ps / 1e9
+                full[name] += ms
+                fcnt[name] += 1
+                base = re.sub(r"[._]\d+$", "", name.split(" = ")[0].lstrip("%"))
+                buck[base] += ms
+                bcnt[base] += 1
+    n = N_STEPS
+    print(f"== total device op time: {sum(full.values())/n:.2f} ms/step "
+          f"(over {n} steps)")
+    print("-- buckets (op base name) --")
+    for k, v in sorted(buck.items(), key=lambda kv: -kv[1]):
+        if v / n < 0.05:
+            continue
+        print(f"{v/n:9.3f} ms  x{bcnt[k]//n:<5} {k}")
+    print(f"-- top {top} individual ops --")
+    for name, ms in sorted(full.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{ms/n:8.3f} ms  x{fcnt[name]//n} {name[:140]}")
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "train"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else (
+        16 if mode == "train" else 32)
+    logdir = f"/tmp/xprof_{mode}_tool"
+    os.system(f"rm -rf {logdir}")
+    _capture(mode, batch, logdir)
+    report(logdir)
+
+
+if __name__ == "__main__":
+    main()
