@@ -120,6 +120,11 @@ class TPUConfig:
     # GSPMD constraints — parallel/spatial.py::spatial_constrainer; forces
     # the XLA attention path). 1 = data-parallel only.
     spatial: int = 1
+    # Adam first-moment (mu) storage dtype: "float32" (exact, default) or
+    # "bfloat16" (optax mu_dtype — halves mu HBM residency+traffic;
+    # the second moment and params stay fp32). Opt-in memory knob for
+    # scaled configs; the default recipe keeps reference-exact state.
+    opt_mu_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -198,6 +203,8 @@ def config_from_dict(raw: dict) -> Config:
         data_parallel=int(_get(tp, "DATA_PARALLEL", 0)),
         donate=bool(_get(tp, "DONATE", True)),
         data_workers=int(_get(tp, "DATA_WORKERS", 0)),
+        spatial=int(_get(tp, "SPATIAL", 1)),
+        opt_mu_dtype=str(_get(tp, "OPT_MU_DTYPE", "float32")),
     )
     model = raw.get("MODEL", {}) or {}
     return Config(
@@ -267,6 +274,8 @@ def config_to_dict(cfg: Config) -> dict:
             "DATA_PARALLEL": cfg.tpu.data_parallel,
             "DONATE": cfg.tpu.donate,
             "DATA_WORKERS": cfg.tpu.data_workers,
+            "SPATIAL": cfg.tpu.spatial,
+            "OPT_MU_DTYPE": cfg.tpu.opt_mu_dtype,
         },
     }
 

@@ -236,3 +236,49 @@ def test_train_conv_head_routing_matches_split(monkeypatch):
     for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_tpu_yaml_keys_round_trip(tmp_path):
+    """TPU.SPATIAL and TPU.OPT_MU_DTYPE must survive the YAML round trip —
+    SPATIAL is the Trainer's spatial-mesh knob (it was readable from code
+    but unreachable from training.yaml until round 3, third session)."""
+    import yaml
+
+    from sunet_tf_tpu.config import Config, config_to_dict, load_config
+
+    cfg = Config()
+    cfg = cfg.replace(tpu=cfg.tpu.__class__(
+        **{**cfg.tpu.__dict__, "spatial": 2, "opt_mu_dtype": "bfloat16"}))
+    p = tmp_path / "t.yaml"
+    p.write_text(yaml.safe_dump(config_to_dict(cfg)))
+    back = load_config(str(p))
+    assert back.tpu.spatial == 2
+    assert back.tpu.opt_mu_dtype == "bfloat16"
+
+
+def test_adam_mu_dtype_knob():
+    """TPU.OPT_MU_DTYPE=bfloat16 stores Adam's first moment in bf16 (the
+    opt-in optimizer-memory knob); updates stay close to the fp32-state
+    optimizer on the first step (identical: mu is exact after step 1 up
+    to one bf16 round of the gradient)."""
+    import optax
+
+    from sunet_tf_tpu.config import Config
+    from sunet_tf_tpu.train.loop import make_optimizer
+
+    cfg = Config()
+    cfg_b = cfg.replace(tpu=cfg.tpu.__class__(
+        **{**cfg.tpu.__dict__, "opt_mu_dtype": "bfloat16"}))
+    params = {"w": jnp.ones((8, 8), jnp.float32)}
+    grads = {"w": jnp.full((8, 8), 0.125, jnp.float32)}
+    tx32 = make_optimizer(cfg, steps_per_epoch=1)
+    txbf = make_optimizer(cfg_b, steps_per_epoch=1)
+    s32 = tx32.init(params)
+    sbf = txbf.init(params)
+    mu = jax.tree.leaves(sbf)[0]  # adam ScaleByAdamState.mu leaf
+    assert any(l.dtype == jnp.bfloat16
+               for l in jax.tree.leaves(sbf) if hasattr(l, "dtype")), sbf
+    u32, _ = tx32.update(grads, s32, params)
+    ubf, _ = txbf.update(grads, sbf, params)
+    np.testing.assert_allclose(np.asarray(u32["w"]), np.asarray(ubf["w"]),
+                               rtol=1e-2, atol=1e-8)
