@@ -609,7 +609,8 @@ class DualUpsample(nnx.Module):
         """x4 head AND a following 3x3 bias-free conv (the model's output
         conv, reference model/SUNet_detail.py:753) in one phase-space
         Pallas kernel — the upsampled (B, 4H, 4W, C) map never exists
-        (kernels/upsample.py::fused_dual_upsample4_conv). Inference only."""
+        (kernels/upsample.py::fused_dual_upsample4_conv). Forward only —
+        training routes conv_head_trainable (custom-VJP variant)."""
         assert self.factor == 4
         out_ch = self.mix.lin.kernel.shape[1]
         wp = self.mix.lin.kernel[...][:out_ch]

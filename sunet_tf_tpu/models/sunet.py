@@ -288,11 +288,11 @@ class SUNet(nnx.Module):
         # tunnel (see bench.bench_train). SUNET_UP4_FUSED_TRAIN=0 opts
         # the training path out.
         up4_train = os.environ.get("SUNET_UP4_FUSED_TRAIN", "1") == "1"
-        # Inference default: x4 head + output conv in ONE phase-space
+        # Default in BOTH modes: x4 head + output conv in ONE phase-space
         # kernel (the upsampled (B, 4H, 4W, C) map never exists — see
-        # kernels/upsample.py::fused_dual_upsample4_conv). The split head
-        # + XLA conv remains the training path (the up4 custom-VJP covers
-        # the head alone) and the opt-out (SUNET_UP4_CONV_FUSED=0).
+        # kernels/upsample.py). Inference uses the forward-only kernel;
+        # training the custom-VJP variant (single-kernel backward too).
+        # SUNET_UP4_CONV_FUSED=0 opts out entirely (split head below).
         if (constrain is None
                 and getattr(self.up_final, "backend", "xla") == "pallas"
                 and os.environ.get("SUNET_UP4_CONV_FUSED", "1") != "0"
