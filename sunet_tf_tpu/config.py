@@ -120,11 +120,15 @@ class TPUConfig:
     # GSPMD constraints — parallel/spatial.py::spatial_constrainer; forces
     # the XLA attention path). 1 = data-parallel only.
     spatial: int = 1
-    # Adam first-moment (mu) storage dtype: "float32" (exact, default) or
-    # "bfloat16" (optax mu_dtype — halves mu HBM residency+traffic;
-    # the second moment and params stay fp32). Opt-in memory knob for
-    # scaled configs; the default recipe keeps reference-exact state.
-    opt_mu_dtype: str = "float32"
+    # Adam first-moment (mu) storage dtype. Default "bfloat16" (optax
+    # mu_dtype): halves mu HBM residency+traffic — the Adam update is
+    # HBM-roofline-bound (7x400MB fp32 state passes) and bf16 mu measured
+    # 205.8 vs 198.7 img/s b16 train on v5e (chained harness, same-run
+    # A/B). mu is a smoothed gradient; bf16 rounding on it is noise-level
+    # (first-step update parity test). "float32" restores bit-exact
+    # reference Adam state; checkpoints restore across either choice
+    # (orbax casts opt_state to the skeleton dtype — tested).
+    opt_mu_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)
@@ -204,7 +208,7 @@ def config_from_dict(raw: dict) -> Config:
         donate=bool(_get(tp, "DONATE", True)),
         data_workers=int(_get(tp, "DATA_WORKERS", 0)),
         spatial=int(_get(tp, "SPATIAL", 1)),
-        opt_mu_dtype=str(_get(tp, "OPT_MU_DTYPE", "float32")),
+        opt_mu_dtype=str(_get(tp, "OPT_MU_DTYPE", "bfloat16")),
     )
     model = raw.get("MODEL", {}) or {}
     return Config(

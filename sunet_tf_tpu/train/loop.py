@@ -69,11 +69,12 @@ def make_optax_lr_schedule(cfg: Config, steps_per_epoch: int) -> Callable:
 
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
     """Adam(0.9, 0.999, eps=1e-8) under the reference LR schedule
-    (reference train.py:126-135). TPU.OPT_MU_DTYPE="bfloat16" stores the
-    first moment in bf16 (opt-in memory knob; fp32 default is
-    reference-exact)."""
+    (reference train.py:126-135). TPU.OPT_MU_DTYPE selects the
+    first-moment storage dtype (default bf16 — +3.6% train step on v5e,
+    the Adam update is HBM-bound; "float32" is the reference-exact
+    opt-out)."""
     mu_dtype = {"float32": None, "bfloat16": jnp.bfloat16}[
-        getattr(cfg.tpu, "opt_mu_dtype", "float32")]
+        getattr(cfg.tpu, "opt_mu_dtype", "bfloat16")]
     return optax.adam(
         learning_rate=make_optax_lr_schedule(cfg, steps_per_epoch),
         b1=cfg.optim.beta1,

@@ -257,18 +257,22 @@ def test_tpu_yaml_keys_round_trip(tmp_path):
 
 
 def test_adam_mu_dtype_knob():
-    """TPU.OPT_MU_DTYPE=bfloat16 stores Adam's first moment in bf16 (the
-    opt-in optimizer-memory knob); updates stay close to the fp32-state
-    optimizer on the first step (identical: mu is exact after step 1 up
-    to one bf16 round of the gradient)."""
+    """TPU.OPT_MU_DTYPE=bfloat16 (the DEFAULT — the Adam update is
+    HBM-bound, bf16 mu measured +3.6% train step on v5e) stores Adam's
+    first moment in bf16; updates stay close to the reference-exact
+    fp32-state optimizer on the first step (identical: mu is exact after
+    step 1 up to one bf16 round of the gradient)."""
     import optax
 
     from sunet_tf_tpu.config import Config
     from sunet_tf_tpu.train.loop import make_optimizer
 
-    cfg = Config()
-    cfg_b = cfg.replace(tpu=cfg.tpu.__class__(
-        **{**cfg.tpu.__dict__, "opt_mu_dtype": "bfloat16"}))
+    base = Config()
+    cfg = base.replace(tpu=base.tpu.__class__(
+        **{**base.tpu.__dict__, "opt_mu_dtype": "float32"}))
+    cfg_b = base.replace(tpu=base.tpu.__class__(
+        **{**base.tpu.__dict__, "opt_mu_dtype": "bfloat16"}))
+    assert base.tpu.opt_mu_dtype == "bfloat16"  # the default
     params = {"w": jnp.ones((8, 8), jnp.float32)}
     grads = {"w": jnp.full((8, 8), 0.125, jnp.float32)}
     tx32 = make_optimizer(cfg, steps_per_epoch=1)
@@ -282,3 +286,24 @@ def test_adam_mu_dtype_knob():
     ubf, _ = txbf.update(grads, sbf, params)
     np.testing.assert_allclose(np.asarray(u32["w"]), np.asarray(ubf["w"]),
                                rtol=1e-2, atol=1e-8)
+
+
+def test_opt_state_restores_across_mu_dtype(tmp_path):
+    """Checkpoints restore across OPT_MU_DTYPE changes: orbax casts the
+    saved opt_state to the fresh skeleton's dtypes, so a run checkpointed
+    under fp32 mu resumes under the bf16-mu default (and vice versa) —
+    the safety condition for flipping the default."""
+    from sunet_tf_tpu.ckpt import restore_checkpoint, save_checkpoint
+
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+    opt = {"mu": jnp.full((4, 4), 0.5, jnp.float32),
+           "count": jnp.zeros((), jnp.int32)}
+    save_checkpoint(str(tmp_path), "latest", params, opt_state=opt, epoch=3)
+    skel = {"mu": jnp.zeros((4, 4), jnp.bfloat16),
+            "count": jnp.zeros((), jnp.int32)}
+    out = restore_checkpoint(os.path.join(str(tmp_path), "latest"), params,
+                             opt_state_like=skel)
+    assert out["opt_state"]["mu"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out["opt_state"]["mu"].astype(jnp.float32)), 0.5)
+    assert out["epoch"] == 3
