@@ -118,7 +118,9 @@ def bench_headline():
     cfg, model, graphdef, params = _build(Config(), "pallas")
     gflop = model.flops() / 1e9
     best = 0.0
-    for b in (int(v) for v in os.environ.get("BENCH_BATCHES", "16,32").split(",")):
+    # 32,64: b16 is strictly dominated for inference (753-era sweeps) and
+    # b64 measured 855.1 vs b32's 844.9 — per-kernel fixed costs amortize.
+    for b in (int(v) for v in os.environ.get("BENCH_BATCHES", "32,64").split(",")):
         x = jax.random.uniform(jax.random.key(0), (b, 256, 256, 3), jnp.float32)
         ips, dt = _forward_chain(graphdef, params, x)
         print(f"# batch {b}: {ips:.1f} img/s ({dt*1e3:.2f} ms/iter, "
