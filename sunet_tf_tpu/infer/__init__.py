@@ -3,3 +3,7 @@ from sunet_tf_tpu.infer.tiled import (  # noqa: F401
     padded_inference,
     required_granularity,
 )
+from sunet_tf_tpu.infer.export import (  # noqa: F401
+    ServingModel,
+    save_exported,
+)

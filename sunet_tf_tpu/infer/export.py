@@ -1,0 +1,147 @@
+"""AOT model export/serving artifacts (``jax.export`` / StableHLO).
+
+The reference has no deployment story at all — serving means "run the
+training repo's demo.py with the checkout on PYTHONPATH"
+(reference demo.py:20-76). The TPU-native production path is ahead-of-time
+export: serialize the jitted forward (Pallas kernels included, lowered to
+stablehlo.custom_call) together with its calling convention into a
+versioned artifact that a serving process can load WITHOUT the model
+code, Python framework versions pinned only to jax itself.
+
+Design notes:
+
+- Weights stay OUTSIDE the artifact and are passed as call arguments —
+  baking 100M params into the StableHLO as constants would bloat the
+  artifact ~400 MB and pin it to one checkpoint. One artifact therefore
+  serves every checkpoint of that architecture (pair it with
+  ``ckpt.restore_checkpoint``).
+- Batch sizes are STATIC buckets (default (1,)): the fused Pallas kernels
+  size their grids/VMEM windows from concrete shapes, so symbolic batch
+  dims are not exportable on the pallas backend. ``ServingModel`` routes
+  a request to the smallest bucket that fits and pads (the same bucketing
+  contract as ``infer.tiled.TiledRunner``).
+- The artifact records the export platform (tpu/cpu); jax.export refuses
+  cross-platform execution at load time rather than miscompiling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+_META_NAME = "meta.json"
+
+
+def _forward_fn(graphdef, treedef) -> Callable:
+    """(param_leaves, x) -> y with weights as traced arguments (constants
+    would blow the artifact to ~400 MB and pin it to one checkpoint).
+
+    The exported calling convention takes the params as a FLAT LEAF LIST:
+    the nnx State pytree contains flax types jax.export cannot serialize,
+    and a flat list also frees the serving process from needing flax at
+    all — it restores the orbax checkpoint and flattens it."""
+    from flax import nnx
+
+    def fwd(leaves, x):
+        params = jax.tree.unflatten(treedef, leaves)
+        return nnx.merge(graphdef, params)(x)
+
+    return fwd
+
+
+def export_forward(graphdef, params, batch: int, resolution: int,
+                   in_chans: int = 3):
+    """Export one (batch, resolution, resolution, in_chans) forward.
+
+    Returns a ``jax.export.Exported`` — call ``.serialize()`` for bytes.
+    """
+    from jax import export as jexport
+
+    leaves, treedef = jax.tree.flatten(params)
+    fwd = _forward_fn(graphdef, treedef)
+    lspec = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in leaves]
+    xspec = jax.ShapeDtypeStruct((batch, resolution, resolution, in_chans),
+                                 jnp.float32)
+    return jexport.export(jax.jit(fwd))(lspec, xspec)
+
+
+def save_exported(out_dir: str, graphdef, params, resolution: int,
+                  batches: Sequence[int] = (1,), in_chans: int = 3,
+                  extra_meta: Optional[dict] = None) -> dict:
+    """Write ``forward_b{N}.jaxexport`` per batch bucket + ``meta.json``.
+
+    Returns the meta dict. Weights are NOT written here — checkpoints are
+    orbax's job (``sunet_tf_tpu.ckpt``); the artifact is weights-agnostic.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    meta = {
+        "format": "jax.export.serialize",
+        "resolution": int(resolution),
+        "in_chans": int(in_chans),
+        "batches": sorted(int(b) for b in batches),
+        "num_param_leaves": len(jax.tree.leaves(params)),
+        "platforms": None,
+        **(extra_meta or {}),
+    }
+    for b in meta["batches"]:
+        exp = export_forward(graphdef, params, b, resolution, in_chans)
+        meta["platforms"] = list(exp.platforms)
+        with open(os.path.join(out_dir, f"forward_b{b}.jaxexport"), "wb") as f:
+            f.write(exp.serialize())
+    with open(os.path.join(out_dir, _META_NAME), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+class ServingModel:
+    """Load an exported artifact dir and serve batched forwards.
+
+    Requests route to the smallest batch bucket that fits (zero-padded,
+    cropped back); larger requests run in bucket-sized chunks of the
+    biggest bucket. Outputs are bit-identical to the live jitted model
+    (tested) — jax.export replays the exact lowered computation.
+    """
+
+    def __init__(self, artifact_dir: str):
+        from jax import export as jexport
+
+        with open(os.path.join(artifact_dir, _META_NAME)) as f:
+            self.meta = json.load(f)
+        self._fns = {}
+        for b in self.meta["batches"]:
+            path = os.path.join(artifact_dir, f"forward_b{b}.jaxexport")
+            with open(path, "rb") as f:
+                self._fns[b] = jexport.deserialize(bytearray(f.read()))
+        self.resolution = self.meta["resolution"]
+        self.batches = self.meta["batches"]
+
+    def _run_bucket(self, b: int, leaves, x: jnp.ndarray) -> jnp.ndarray:
+        n = x.shape[0]
+        if n < b:
+            x = jnp.concatenate(
+                [x, jnp.zeros((b - n,) + x.shape[1:], x.dtype)])
+        return self._fns[b].call(leaves, x)[:n]
+
+    def __call__(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        """params: the nnx State OR any pytree (e.g. the orbax-restored
+        dict) whose leaf order matches the exported architecture."""
+        leaves = jax.tree.leaves(params)
+        assert len(leaves) == self.meta["num_param_leaves"], (
+            f"checkpoint has {len(leaves)} leaves, artifact expects "
+            f"{self.meta['num_param_leaves']}")
+        n = x.shape[0]
+        r = self.resolution
+        assert x.ndim == 4 and x.shape[1] == r and x.shape[2] == r, (
+            f"exported for {r}x{r}, got {x.shape} — use infer.tiled for "
+            "arbitrary resolutions")
+        for b in self.batches:
+            if n <= b:
+                return self._run_bucket(b, leaves, x)
+        big = self.batches[-1]
+        outs = [self._run_bucket(big, leaves, x[i : i + big])
+                for i in range(0, n, big)]
+        return jnp.concatenate(outs)
