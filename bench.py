@@ -118,9 +118,10 @@ def bench_headline():
     cfg, model, graphdef, params = _build(Config(), "pallas")
     gflop = model.flops() / 1e9
     best = 0.0
-    # 32,64: b16 is strictly dominated for inference (753-era sweeps) and
-    # b64 measured 855.1 vs b32's 844.9 — per-kernel fixed costs amortize.
-    for b in (int(v) for v in os.environ.get("BENCH_BATCHES", "32,64").split(",")):
+    # 64,128: smaller batches are strictly dominated for inference (b16 in
+    # the 753-era sweeps, b32's 844.9 vs b64's 855.1) and b128 measured
+    # 860.8 — per-kernel fixed costs keep amortizing, flat beyond that.
+    for b in (int(v) for v in os.environ.get("BENCH_BATCHES", "64,128").split(",")):
         x = jax.random.uniform(jax.random.key(0), (b, 256, 256, 3), jnp.float32)
         ips, dt = _forward_chain(graphdef, params, x)
         print(f"# batch {b}: {ips:.1f} img/s ({dt*1e3:.2f} ms/iter, "
@@ -150,6 +151,9 @@ def bench_train(batch=None):
     from sunet_tf_tpu.config import Config
     from sunet_tf_tpu.train.loop import build_steps, make_optimizer
 
+    # 16,32: train throughput is monotonic to b32 (204.8/217.2) and FLAT
+    # beyond — b64 measured 216.0 img/s (296.2 ms/step), so the sweep
+    # stops at 32.
     batches = ([batch] if batch else
                [int(v) for v in
                 os.environ.get("BENCH_TRAIN_BATCHES", "16,32").split(",")])
