@@ -11,6 +11,7 @@ Other modes (one JSON line each, recorded in BENCH_SUITE.json):
     python bench.py train    # BASELINE config #4: training-step throughput
     python bench.py tiled    # BASELINE config #3: 1024^2 stride-128 tiled
     python bench.py scaled   # BASELINE config #5: EMB 180 / WIN 16 / 512^2
+    python bench.py latency  # batch-1 256^2 forward latency (serving SLA)
     python bench.py all      # headline + the above
 
 Timing method (all modes): host-side per-call timing lies through the
@@ -281,6 +282,24 @@ def bench_scaled():
                  "img/s/chip")
 
 
+def bench_latency():
+    """Batch-1 256^2 forward latency — the serving-SLA counterpart of the
+    batched-throughput headline (reference demo.py:70-77 runs exactly this
+    shape per image). Chain-timed like every other mode, so the number is
+    pure device time per image, excluding host dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from sunet_tf_tpu.config import Config
+
+    cfg, model, graphdef, params = _build(Config(), "pallas")
+    x = jax.random.uniform(jax.random.key(0), (1, 256, 256, 3), jnp.float32)
+    ips, dt = _forward_chain(graphdef, params, x, n1=8, n2=32)
+    print(f"# batch 1: {dt*1e3:.2f} ms/img ({ips:.1f} img/s)",
+          file=sys.stderr)
+    return _emit("latency_256_batch1_ms_per_image", dt * 1e3, "ms")
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "headline"
     if mode in ("headline", "all"):
@@ -295,6 +314,8 @@ def main():
         lines.append(bench_tiled())
     if mode in ("scaled", "all"):
         lines.append(bench_scaled())
+    if mode in ("latency", "all"):
+        lines.append(bench_latency())
     if mode == "all":
         lines.insert(0, bench_headline())
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
