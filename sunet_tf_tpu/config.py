@@ -129,6 +129,16 @@ class TPUConfig:
     # reference Adam state; checkpoints restore across either choice
     # (orbax casts opt_state to the skeleton dtype — tested).
     opt_mu_dtype: str = "bfloat16"
+    # Adam second-moment (nu) storage dtype: "bfloat16_sr" (default —
+    # bf16 storage with scalar-dither stochastic rounding), "bfloat16"
+    # (deterministic), or "float32" (reference-exact opt-out). nu's
+    # 0.999-EMA increments (~0.1% relative) sit BELOW the bf16 ulp, so
+    # plain bf16 freezes nu near steady state (bias ≤1 ulp of the
+    # adaptive LR); "_sr" keeps the EMA unbiased in expectation. v5e b32
+    # same-day A/B: fp32 215.0 / bf16_sr 216.8 / bf16 217.9 img/s —
+    # another ~1 HBM pass off the roofline-bound update. Checkpoints
+    # restore across every choice. See train/adam.py.
+    opt_nu_dtype: str = "bfloat16_sr"
 
 
 @dataclass(frozen=True)
@@ -209,6 +219,7 @@ def config_from_dict(raw: dict) -> Config:
         data_workers=int(_get(tp, "DATA_WORKERS", 0)),
         spatial=int(_get(tp, "SPATIAL", 1)),
         opt_mu_dtype=str(_get(tp, "OPT_MU_DTYPE", "bfloat16")),
+        opt_nu_dtype=str(_get(tp, "OPT_NU_DTYPE", "bfloat16_sr")),
     )
     model = raw.get("MODEL", {}) or {}
     return Config(
@@ -280,6 +291,7 @@ def config_to_dict(cfg: Config) -> dict:
             "DATA_WORKERS": cfg.tpu.data_workers,
             "SPATIAL": cfg.tpu.spatial,
             "OPT_MU_DTYPE": cfg.tpu.opt_mu_dtype,
+            "OPT_NU_DTYPE": cfg.tpu.opt_nu_dtype,
         },
     }
 

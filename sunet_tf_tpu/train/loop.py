@@ -69,12 +69,32 @@ def make_optax_lr_schedule(cfg: Config, steps_per_epoch: int) -> Callable:
 
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
     """Adam(0.9, 0.999, eps=1e-8) under the reference LR schedule
-    (reference train.py:126-135). TPU.OPT_MU_DTYPE selects the
-    first-moment storage dtype (default bf16 — +3.6% train step on v5e,
-    the Adam update is HBM-bound; "float32" is the reference-exact
-    opt-out)."""
+    (reference train.py:126-135). The update is HBM-roofline-bound, so
+    moment STORAGE dtypes are throughput knobs (arithmetic stays fp32):
+    TPU.OPT_MU_DTYPE (default bf16, +3.6% train step on v5e) and
+    TPU.OPT_NU_DTYPE (default bf16 + stochastic rounding — nu's
+    0.999-EMA increments are sub-ulp in bf16, SR keeps the EMA unbiased;
+    +0.8% same-day A/B). "float32" for both restores the bit-exact
+    reference optimizer."""
     mu_dtype = {"float32": None, "bfloat16": jnp.bfloat16}[
         getattr(cfg.tpu, "opt_mu_dtype", "bfloat16")]
+    nu_choice = getattr(cfg.tpu, "opt_nu_dtype", "float32")
+    if nu_choice != "float32":
+        # bf16 nu needs stochastic rounding to stay unbiased (its
+        # 0.999-EMA increments round away deterministically) — see
+        # train/adam.py. Same chained state tree as optax.adam, so
+        # checkpoints interchange across every dtype choice.
+        from sunet_tf_tpu.train.adam import adam_lp
+
+        return adam_lp(
+            learning_rate=make_optax_lr_schedule(cfg, steps_per_epoch),
+            b1=cfg.optim.beta1,
+            b2=cfg.optim.beta2,
+            eps=cfg.optim.eps,
+            mu_dtype=mu_dtype,
+            nu_dtype=jnp.bfloat16,
+            stochastic_round_nu=(nu_choice == "bfloat16_sr"),
+        )
     return optax.adam(
         learning_rate=make_optax_lr_schedule(cfg, steps_per_epoch),
         b1=cfg.optim.beta1,

@@ -307,3 +307,113 @@ def test_opt_state_restores_across_mu_dtype(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out["opt_state"]["mu"].astype(jnp.float32)), 0.5)
     assert out["epoch"] == 3
+
+
+def test_adam_lp_fp32_matches_optax_bitwise():
+    """scale_by_adam_lp with fp32 storage reproduces optax.adam BITWISE
+    (same fp32 EMA + bias-correction math), so the low-precision
+    optimizer path is a strict storage-dtype generalization of the
+    reference optimizer (reference train.py:126-135)."""
+    import optax
+
+    from sunet_tf_tpu.train.adam import adam_lp
+
+    params = {"a": jnp.linspace(-1.0, 1.0, 64).reshape(8, 8),
+              "b": jnp.ones((5,), jnp.float32)}
+    lr = lambda c: 1e-3 * (c + 1).astype(jnp.float32)  # noqa: E731
+    ref, new = optax.adam(lr), adam_lp(lr)
+    s1, s2 = ref.init(params), new.init(params)
+    # identical chained state tree => checkpoints interchange
+    assert jax.tree.structure(s1) == jax.tree.structure(s2)
+    key = jax.random.key(42)
+    p1 = p2 = params
+    for i in range(5):
+        g = jax.tree.map(
+            lambda p: jax.random.normal(jax.random.fold_in(key, i), p.shape),
+            params)
+        u1, s1 = ref.update(g, s1, p1)
+        u2, s2 = new.update(g, s2, p2)
+        p1 = optax.apply_updates(p1, u1)
+        p2 = optax.apply_updates(p2, u2)
+    for x, y in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_adam_nu_bf16_sr_unbiased_ema():
+    """TPU.OPT_NU_DTYPE=bfloat16_sr: nu's 0.999-EMA increments (~0.1%
+    relative) sit below the bf16 ulp (2^-8), so DETERMINISTIC bf16
+    rounding would freeze nu; stochastic rounding keeps the EMA unbiased
+    in expectation. 50 constant-gradient steps must track the exact EMA
+    closed form within 2%, and the single-value rounding mean must land
+    between the two bf16 neighbors at the right split."""
+    import optax
+
+    from sunet_tf_tpu.train.adam import _stochastic_round_bf16, adam_lp
+
+    # unbiasedness over independent dithers (the dither is a SCALAR per
+    # array write — unbiased marginally, independent across steps)
+    rs = jax.random.bits(jax.random.key(0), (4096,),
+                         jnp.uint32) & jnp.uint32(0xFFFF)
+    x = jnp.full((4096,), 1.0001e-3, jnp.float32)
+    r = jax.vmap(_stochastic_round_bf16)(rs, x).astype(jnp.float32)
+    assert abs(float(r.mean()) - 1.0001e-3) / 1.0001e-3 < 1e-3
+    assert len(np.unique(np.asarray(r))) == 2  # the two bf16 neighbors
+
+    # EMA tracking: 8 leaves = 8 independent dither streams to average
+    params = {f"w{i}": jnp.ones((8, 8), jnp.float32) for i in range(8)}
+    tx = adam_lp(lambda c: jnp.float32(1e-3), nu_dtype=jnp.bfloat16,
+                 stochastic_round_nu=True)
+    s = tx.init(params)
+    assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(s[0].nu))
+    p = params
+    for _ in range(50):
+        g = jax.tree.map(lambda q: jnp.full(q.shape, 0.1), p)
+        u, s = tx.update(g, s, p)
+        p = optax.apply_updates(p, u)
+    nu = float(np.mean([np.asarray(v.astype(jnp.float32)).mean()
+                        for v in jax.tree.leaves(s[0].nu)]))
+    exact = 0.01 * (1.0 - 0.999 ** 50)
+    assert abs(nu - exact) / exact < 0.02, (nu, exact)
+
+
+def test_opt_nu_dtype_knob_and_restore(tmp_path):
+    """TPU.OPT_NU_DTYPE wires through make_optimizer (state tree matches
+    optax.adam's, first-step update close to fp32) and checkpoints
+    restore across the dtype change (orbax casts to the skeleton)."""
+    from sunet_tf_tpu.ckpt import restore_checkpoint, save_checkpoint
+    from sunet_tf_tpu.config import Config, config_from_dict, config_to_dict
+    from sunet_tf_tpu.train.loop import make_optimizer
+
+    base = Config()
+    # bf16+stochastic-rounding storage is the default (unbiased EMA,
+    # ~1 HBM pass off the roofline-bound update; fp32 is the
+    # reference-exact opt-out)
+    assert base.tpu.opt_nu_dtype == "bfloat16_sr"
+    rt = config_from_dict(config_to_dict(base.replace(tpu=base.tpu.__class__(
+        **{**base.tpu.__dict__, "opt_nu_dtype": "float32"}))))
+    assert rt.tpu.opt_nu_dtype == "float32"  # YAML round-trip
+
+    cfg32 = base.replace(tpu=base.tpu.__class__(
+        **{**base.tpu.__dict__, "opt_nu_dtype": "float32"}))
+    cfgsr = base  # the default
+    params = {"w": jnp.ones((8, 8), jnp.float32)}
+    grads = {"w": jnp.full((8, 8), 0.125, jnp.float32)}
+    tx32 = make_optimizer(cfg32, steps_per_epoch=1)
+    txsr = make_optimizer(cfgsr, steps_per_epoch=1)
+    s32, ssr = tx32.init(params), txsr.init(params)
+    assert jax.tree.structure(s32) == jax.tree.structure(ssr)
+    u32, _ = tx32.update(grads, s32, params)
+    usr, _ = txsr.update(grads, ssr, params)
+    np.testing.assert_allclose(np.asarray(u32["w"]), np.asarray(usr["w"]),
+                               rtol=1e-2, atol=1e-8)
+
+    opt = {"nu": jnp.full((4, 4), 0.25, jnp.float32),
+           "count": jnp.zeros((), jnp.int32)}
+    save_checkpoint(str(tmp_path), "latest", params, opt_state=opt, epoch=1)
+    skel = {"nu": jnp.zeros((4, 4), jnp.bfloat16),
+            "count": jnp.zeros((), jnp.int32)}
+    out = restore_checkpoint(os.path.join(str(tmp_path), "latest"), params,
+                             opt_state_like=skel)
+    assert out["opt_state"]["nu"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out["opt_state"]["nu"].astype(jnp.float32)), 0.25)
