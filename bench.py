@@ -30,6 +30,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NORTH_STAR = 500.0  # images/sec/chip (BASELINE.json)
 
+# Persistent compilation cache: every large compile through the remote
+# tunnel is a 3-6 min RPC; with the cache, repeat invocations (the driver
+# runs bench.py every round) deserialize the executable in <1 s. Verified
+# working through the axon backend (0.94 s -> 0.017 s across processes).
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 def _emit(metric, value, unit, baseline=None):
     line = {"metric": metric, "value": round(value, 2), "unit": unit,
@@ -51,14 +66,16 @@ def _build(cfg, backend, seed=0):
 
 
 def _forward_chain(graphdef, params, x, n1=4, n2=16, reps=3):
-    """img/s via the fori_loop chain-difference method."""
-    from functools import partial
+    """img/s via the fori_loop chain-difference method.
 
+    DYNAMIC trip count: n_iters is a traced int32, so both chain lengths
+    share ONE compile (a static n would pay two multi-minute remote
+    compiles for the same module)."""
     import jax
     import jax.numpy as jnp
     from flax import nnx
 
-    @partial(jax.jit, static_argnums=(2,))
+    @jax.jit
     def chain(p, x, n_iters):
         def body(_, x):
             y = nnx.merge(graphdef, p)(x)
@@ -75,7 +92,7 @@ def _forward_chain(graphdef, params, x, n1=4, n2=16, reps=3):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(chain(params, x, n))
+            float(chain(params, x, jnp.int32(n)))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -88,14 +105,17 @@ def _forward_chain(graphdef, params, x, n1=4, n2=16, reps=3):
 def numerics_gate(tol=5e-3):
     """Fused-kernel vs XLA forward allclose ON HARDWARE (compiled Mosaic).
     Hard-fails the bench if the paths diverge — kernel regressions on the
-    chip cannot hide behind the CPU-interpret test suite."""
+    chip cannot hide behind the CPU-interpret test suite. Runs AFTER the
+    headline JSON line is printed (driver-budget rule: optional work never
+    delays the scoreable line) at batch 1 — the kernels are batch-griddded,
+    so batch 1 exercises every code path the batched forward does."""
     import jax
     import jax.numpy as jnp
     from flax import nnx
 
     from sunet_tf_tpu.config import Config
 
-    x = jax.random.uniform(jax.random.key(1), (2, 256, 256, 3), jnp.float32)
+    x = jax.random.uniform(jax.random.key(1), (1, 256, 256, 3), jnp.float32)
     outs = {}
     for backend in ("pallas", "xla"):
         cfg, model, graphdef, params = _build(Config(), backend)
@@ -119,10 +139,10 @@ def bench_headline():
     cfg, model, graphdef, params = _build(Config(), "pallas")
     gflop = model.flops() / 1e9
     best = 0.0
-    # 64,128: smaller batches are strictly dominated for inference (b16 in
-    # the 753-era sweeps, b32's 844.9 vs b64's 855.1) and b128 measured
-    # 860.8 — per-kernel fixed costs keep amortizing, flat beyond that.
-    for b in (int(v) for v in os.environ.get("BENCH_BATCHES", "64,128").split(",")):
+    # Single batch 128 by default: the sweeps showed throughput is
+    # monotonic in batch and FLAT from b64 (855.1) to b128 (860.8), so a
+    # sweep only spends driver wall-clock. BENCH_BATCHES overrides.
+    for b in (int(v) for v in os.environ.get("BENCH_BATCHES", "128").split(",")):
         x = jax.random.uniform(jax.random.key(0), (b, 256, 256, 3), jnp.float32)
         ips, dt = _forward_chain(graphdef, params, x)
         print(f"# batch {b}: {ips:.1f} img/s ({dt*1e3:.2f} ms/iter, "
@@ -235,7 +255,7 @@ def bench_tiled():
     model_fn = lambda p, t: nnx.merge(graphdef, p)(t)
     img = jax.random.uniform(jax.random.key(0), (1, 1024, 1024, 3), jnp.float32)
 
-    @_ft.partial(jax.jit, static_argnums=(2,))
+    @jax.jit
     def chain(p, img, n_iters):
         def body(_, im):
             out = tiled_inference(model_fn, im, p, kernel=256,
@@ -251,7 +271,7 @@ def bench_tiled():
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(chain(params, img, n))
+            float(chain(params, img, jnp.int32(n)))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -301,13 +321,17 @@ def bench_latency():
 
 
 def main():
+    _enable_compile_cache()
     mode = sys.argv[1] if len(sys.argv) > 1 else "headline"
-    if mode in ("headline", "all"):
-        numerics_gate()
     if mode == "headline":
+        # JSON line FIRST (the driver's scoreable output), gate after —
+        # a gate failure still exits non-zero so regressions can't hide.
         bench_headline()
+        numerics_gate()
         return
     lines = []
+    if mode == "all":
+        lines.append(bench_headline())
     if mode in ("train", "all"):
         lines.append(bench_train())
     if mode in ("tiled", "all"):
@@ -317,10 +341,10 @@ def main():
     if mode in ("latency", "all"):
         lines.append(bench_latency())
     if mode == "all":
-        lines.insert(0, bench_headline())
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_SUITE.json"), "w") as f:
             json.dump(lines, f, indent=1)
+        numerics_gate()
 
 
 if __name__ == "__main__":

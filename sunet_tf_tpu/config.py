@@ -140,6 +140,16 @@ class TPUConfig:
     # restore across every choice. See train/adam.py.
     opt_nu_dtype: str = "bfloat16_sr"
 
+    def __post_init__(self):
+        if self.opt_mu_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"TPU.OPT_MU_DTYPE must be float32|bfloat16, "
+                f"got {self.opt_mu_dtype!r}")
+        if self.opt_nu_dtype not in ("float32", "bfloat16", "bfloat16_sr"):
+            raise ValueError(
+                f"TPU.OPT_NU_DTYPE must be float32|bfloat16|bfloat16_sr, "
+                f"got {self.opt_nu_dtype!r}")
+
 
 @dataclass(frozen=True)
 class Config:

@@ -65,14 +65,16 @@ def scale_by_adam_lp(
     mu_dtype: Optional[jnp.dtype] = None,
     nu_dtype: Optional[jnp.dtype] = None,
     stochastic_round_nu: bool = False,
+    sr_seed: int = 0,
 ) -> optax.GradientTransformation:
     """``optax.scale_by_adam`` with a storage dtype for BOTH moments.
 
     With ``mu_dtype=nu_dtype=None`` this reproduces ``optax.scale_by_adam``
     exactly (same EMA/bias-correction math in fp32; parity-tested).
     ``stochastic_round_nu`` applies only when ``nu_dtype`` is bf16; the
-    SR key is derived from the step count (deterministic per step, no
-    key threading through the optimizer API).
+    SR key is ``fold_in(key(sr_seed), step)`` — deterministic per step
+    with no key threading through the optimizer API, and distinct runs
+    (different config seeds) get distinct dither sequences.
     """
     mu_dtype = jnp.dtype(mu_dtype) if mu_dtype is not None else None
     nu_dtype = jnp.dtype(nu_dtype) if nu_dtype is not None else None
@@ -99,7 +101,7 @@ def scale_by_adam_lp(
         # ONE tiny threefry per step: a (n_leaves,) dither vector, one
         # scalar per leaf (independent across leaves and steps).
         dither = (jax.random.bits(
-            jax.random.fold_in(jax.random.key(0), count_inc),
+            jax.random.fold_in(jax.random.key(sr_seed), count_inc),
             (len(gl),), jnp.uint32) & jnp.uint32(0xFFFF)) if sr else None
         outs, new_mu, new_nu = [], [], []
         for i, (g, m, v) in enumerate(zip(gl, ml, vl)):
@@ -111,6 +113,10 @@ def scale_by_adam_lp(
             if nu_dtype is None:
                 new_nu.append(v32)
             elif sr:
+                # _stochastic_round_bf16 precondition (non-negative,
+                # finite): v32 = b2·v + (1−b2)·g² is ≥0 by construction;
+                # non-finite grads are caught upstream by the trainer's
+                # finite-loss guard before the update applies.
                 new_nu.append(_stochastic_round_bf16(dither[i], v32))
             else:
                 new_nu.append(v32.astype(nu_dtype))
@@ -131,12 +137,14 @@ def adam_lp(
     mu_dtype: Optional[jnp.dtype] = None,
     nu_dtype: Optional[jnp.dtype] = None,
     stochastic_round_nu: bool = False,
+    sr_seed: int = 0,
 ) -> optax.GradientTransformation:
     """``optax.adam`` with moment storage dtypes; same chained state tree
     (ScaleByAdamState, schedule state), so checkpoints interchange."""
     return optax.chain(
         scale_by_adam_lp(b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype,
                          nu_dtype=nu_dtype,
-                         stochastic_round_nu=stochastic_round_nu),
+                         stochastic_round_nu=stochastic_round_nu,
+                         sr_seed=sr_seed),
         optax.scale_by_learning_rate(learning_rate),
     )

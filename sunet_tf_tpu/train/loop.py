@@ -79,6 +79,10 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
     mu_dtype = {"float32": None, "bfloat16": jnp.bfloat16}[
         getattr(cfg.tpu, "opt_mu_dtype", "bfloat16")]
     nu_choice = getattr(cfg.tpu, "opt_nu_dtype", "float32")
+    if nu_choice not in ("float32", "bfloat16", "bfloat16_sr"):
+        raise ValueError(
+            f"TPU.OPT_NU_DTYPE must be one of float32|bfloat16|bfloat16_sr, "
+            f"got {nu_choice!r}")
     if nu_choice != "float32":
         # bf16 nu needs stochastic rounding to stay unbiased (its
         # 0.999-EMA increments round away deterministically) — see
@@ -94,6 +98,7 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
             mu_dtype=mu_dtype,
             nu_dtype=jnp.bfloat16,
             stochastic_round_nu=(nu_choice == "bfloat16_sr"),
+            sr_seed=cfg.training.seed,
         )
     return optax.adam(
         learning_rate=make_optax_lr_schedule(cfg, steps_per_epoch),
