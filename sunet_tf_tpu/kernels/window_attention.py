@@ -1865,6 +1865,50 @@ def _block_bwd(mask_static, ws, num_heads, scale, shift, res, dout):
 swin_block_trainable.defvjp(_block_fwd, _block_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18))
+def swin_block_trainable_dynmask(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+                                 ln2_s, ln2_b, w1, b1, w2, b2, bias, dp,
+                                 mask, ws, num_heads, scale):
+    """swin_block_trainable with the SW-MSA mask as a TRACED input.
+
+    The static-mask variant wraps the mask in a hashable StaticMask so it
+    can ride nondiff_argnums — impossible when the mask is computed from
+    traced values. Under spatial sharding each shard's mask is a
+    dynamic_slice of the global rolled-space mask at the shard's
+    window-row offset (a traced jax.lax.axis_index), so this variant
+    takes the (nW_local, N, N) slice as a regular argument with a zero
+    cotangent. shift is always 0 here: the spatial runner performs the
+    SW-MSA roll outside the kernel (W-roll shard-local, H-roll one
+    ppermute — parallel/spatial.py::spatial_roll_h)."""
+    return fused_swin_block(
+        x, (ln1_s, ln1_b), wqkv.astype(x.dtype), bqkv, wproj.astype(x.dtype),
+        bproj, (ln2_s, ln2_b), w1.astype(x.dtype), b1, w2.astype(x.dtype),
+        b2, bias, mask, drop_path_scale=dp, ws=ws, num_heads=num_heads,
+        scale=scale, shift=0, train=True)
+
+
+def _block_dynmask_fwd(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s,
+                       ln2_b, w1, b1, w2, b2, bias, dp, mask, ws, num_heads,
+                       scale):
+    out = swin_block_trainable_dynmask(
+        x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b, w1, b1,
+        w2, b2, bias, dp, mask, ws, num_heads, scale)
+    return out, (x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
+                 w1, b1, w2, b2, bias, dp, mask)
+
+
+def _block_dynmask_bwd(ws, num_heads, scale, res, dout):
+    (x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b, w1, b1, w2,
+     b2, bias, dp, mask) = res
+    grads = _block_bwd_impl(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+                            ln2_s, ln2_b, w1, b1, w2, b2, bias, dp, mask,
+                            dout, ws, num_heads, scale, shift=0)
+    return grads + (jnp.zeros_like(dp), jnp.zeros_like(mask))
+
+
+swin_block_trainable_dynmask.defvjp(_block_dynmask_fwd, _block_dynmask_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Residual-saving train block (blockdiag geometries): the forward kernel
 # additionally writes the attention softmax state — eb (bf16 lane-concat

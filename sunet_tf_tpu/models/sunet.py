@@ -92,7 +92,18 @@ class SwinStage(nnx.Module):
         else:
             self.resample = None
 
-    def __call__(self, x: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, key: Optional[jax.Array] = None,
+                 runner=None) -> jnp.ndarray:
+        # Spatially-sharded Pallas stage path (parallel.spatial.
+        # PallasSpatialStageRunner): the whole block stack runs inside one
+        # shard_map with per-shard fused kernels. Falls through to the
+        # normal loop when the stage geometry/config rules it out.
+        if (runner is not None and not self.use_checkpoint
+                and runner.applies(self.blocks, x.shape, key is not None)):
+            x = runner(self.blocks, x, key)
+            if self.resample is not None:
+                x = self.resample(x)
+            return x
         for i, blk in enumerate(self.blocks):
             bk = None if key is None else jax.random.fold_in(key, i)
             if self.use_checkpoint:
@@ -238,7 +249,7 @@ class SUNet(nnx.Module):
         return y
 
     def __call__(self, x: jnp.ndarray, key: Optional[jax.Array] = None,
-                 constrain=None) -> jnp.ndarray:
+                 constrain=None, stage_runner=None) -> jnp.ndarray:
         """x: (B, H, W, in_chans) in [0,1] -> (B, H, W, out_chans) raw logits.
 
         Pass ``key`` to enable dropout/stochastic-depth (training); omit it
@@ -250,6 +261,13 @@ class SUNet(nnx.Module):
         where shards own whole window rows, data-only below) — GSPMD then
         partitions the stage math and inserts the halo collectives;
         semantics are unchanged by construction.
+
+        ``stage_runner`` (optional): parallel.spatial.
+        PallasSpatialStageRunner — routes eligible Swin stages through a
+        shard_map with per-shard fused Pallas kernels (the spatial tier
+        keeps the kernel path; GSPMD cannot partition a Mosaic custom
+        call). Combine with ``constrain`` so the non-Swin layers stay
+        GSPMD-partitioned between runner stages.
         """
         cfg = self.cfg
         c = (lambda t: t) if constrain is None else constrain
@@ -271,14 +289,16 @@ class SUNet(nnx.Module):
         skips = []
         for i, layer in enumerate(self.layers):
             skips.append(feats)
-            feats = c(layer(feats, None if key is None else jax.random.fold_in(key, i)))
+            feats = c(layer(feats, None if key is None else jax.random.fold_in(key, i),
+                            runner=stage_runner))
         feats = self.norm(feats).astype(x.dtype)
 
         feats = c(self.up_first(feats))
         for j, layer_up in enumerate(self.layers_up):
             feats = jnp.concatenate([feats, skips[len(skips) - 1 - (j + 1)]], axis=-1)
             feats = self.concat_back_dim[j](feats)
-            feats = c(layer_up(feats, None if key is None else jax.random.fold_in(key, 100 + j)))
+            feats = c(layer_up(feats, None if key is None else jax.random.fold_in(key, 100 + j),
+                               runner=stage_runner))
         feats = self.norm_up(feats).astype(x.dtype)
 
         # Fused up4 head by default in BOTH modes: +14% inference; train

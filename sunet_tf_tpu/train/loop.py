@@ -135,18 +135,64 @@ def build_steps(
     sigma: float = 50.0,
     augment: bool = True,
     constrain=None,
+    mesh=None,
+    stage_runner=None,
 ) -> TrainStepFns:
     """Build jitted-ready pure step functions over nnx (graphdef, params).
 
     constrain: optional activation-sharding hook threaded into the model
     (parallel.spatial.spatial_constrainer) — TPU.SPATIAL > 1 shards
     activation H over the 'spatial' mesh axis inside the same step.
+
+    mesh: when given with data > 1 and the Pallas attention backend, the
+    model apply is wrapped in shard_map over 'data' so the fused kernels
+    partition per-shard (batch-sharded kernels are embarrassingly
+    parallel — no cross-shard data flows through a Swin block). GSPMD
+    cannot partition a Mosaic custom call, so without this wrapper a
+    multi-chip mesh would replicate the kernels' inputs; with it,
+    multi-chip data parallelism keeps the single-chip kernel advantage
+    (~4x vs the XLA attention path on v5e). Autodiff flows through
+    shard_map (the replicated-params cotangent psum IS the gradient
+    all-reduce); grad parity vs the unsharded step is fp32
+    reduction-order noise (tests/test_parallel_pallas.py).
     """
     assert task in ("denoise", "mask")
 
-    def forward(params, x, key=None):
-        model = nnx.merge(graphdef, params)
-        return model(x, key=key, constrain=constrain)
+    backend = cfg.tpu.attention_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    use_smap = (mesh is not None and backend == "pallas"
+                and mesh.shape.get("data", 1) > 1
+                and mesh.shape.get("spatial", 1) == 1 and constrain is None)
+
+    if use_smap:
+        from jax import shard_map as _shard_map
+        from jax.sharding import PartitionSpec as _P
+
+        def forward(params, x, key=None):
+            # check_vma=False: pallas_call outputs carry no vma
+            # annotation; transposition still psums the replicated
+            # params' cotangent (verified against the unsharded grad).
+            if key is None:
+                return _shard_map(
+                    lambda p, xl: nnx.merge(graphdef, p)(xl),
+                    mesh=mesh, in_specs=(_P(), _P("data")),
+                    out_specs=_P("data"), check_vma=False)(params, x)
+
+            def local_k(p, xl, k):
+                # decorrelate dropout/drop-path across shards; when all
+                # drop rates are 0 (the reference recipe) this is inert
+                k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+                return nnx.merge(graphdef, p)(xl, key=k)
+
+            return _shard_map(
+                local_k, mesh=mesh, in_specs=(_P(), _P("data"), _P()),
+                out_specs=_P("data"), check_vma=False)(params, x, key)
+    else:
+        def forward(params, x, key=None):
+            model = nnx.merge(graphdef, params)
+            return model(x, key=key, constrain=constrain,
+                         stage_runner=stage_runner)
 
     def prepare(batch, key):
         """uint8 batch dict -> float input/target with on-device aug/noise.

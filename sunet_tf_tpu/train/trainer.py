@@ -66,9 +66,18 @@ def assert_finite_loss(loss: float, epoch: int, step: Optional[int] = None) -> N
 class Trainer:
     def __init__(self, cfg: Config, task: Optional[str] = None,
                  sigma: float = 50.0, mesh=None, verbose: bool = True):
+        want_pallas = cfg.tpu.attention_backend == "pallas" or (
+            cfg.tpu.attention_backend == "auto"
+            and jax.default_backend() == "tpu")
         if cfg.tpu.spatial > 1 and cfg.tpu.attention_backend != "xla":
-            # spatial sharding partitions via GSPMD; the Pallas kernels
-            # have no partitioning rule, so force the XLA attention path
+            # Spatial sharding partitions the non-Swin layers via GSPMD,
+            # which cannot partition a Mosaic custom call — so the MODEL
+            # backend goes to xla (safe fallbacks for every in-model
+            # pallas path), and the Swin stages get their fused kernels
+            # back through the PallasSpatialStageRunner shard_map tier
+            # (wired below). This narrows the round-3 blanket forced-XLA
+            # fallback to the layers that truly can't partition yet
+            # (convs/resample/up4 head under spatial).
             cfg = cfg.replace(tpu=cfg.tpu.__class__(
                 **{**cfg.tpu.__dict__, "attention_backend": "xla"}))
         self.cfg = cfg
@@ -120,15 +129,23 @@ class Trainer:
                 d -= 1
             self.mesh = make_mesh(data=d, spatial=sp)
         constrain = None
+        stage_runner = None
         if sp > 1:
             # TPU.SPATIAL > 1: shard activation H over 'spatial' inside
-            # the step (GSPMD partitions the math; XLA attention path —
-            # the Pallas kernels carry no partitioning rule).
-            from sunet_tf_tpu.parallel.spatial import spatial_constrainer
+            # the step. GSPMD partitions the non-Swin math under the
+            # constrainer; eligible Swin stages run their fused Pallas
+            # kernels per-shard via the shard_map stage runner.
+            from sunet_tf_tpu.parallel.spatial import (
+                PallasSpatialStageRunner,
+                spatial_constrainer,
+            )
 
             constrain = spatial_constrainer(self.mesh, cfg.swinunet.win_size)
+            if want_pallas:
+                stage_runner = PallasSpatialStageRunner(self.mesh)
         fns = build_steps(cfg, self.graphdef, self.tx, task=self.task,
-                          sigma=sigma, constrain=constrain)
+                          sigma=sigma, constrain=constrain, mesh=self.mesh,
+                          stage_runner=stage_runner)
         self.fns = jit_steps(fns, mesh=self.mesh, donate=cfg.tpu.donate)
 
         self.model_dir = os.path.join(tr.save_dir, cfg.mode, "models")
