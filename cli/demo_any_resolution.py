@@ -83,12 +83,15 @@ def main():
                          square_pad=args.square_pad)
 
     print("Restoring images...")
+    # batched corpus path: same-bucket canvases run as one forward (the
+    # reference loops images serially, demo_any_resolution.py:111-146)
+    images = [np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
+              for f in files]
+    outs = runner.run_corpus(images)
     results_txt = os.path.join(args.result_dir, "tpr_fpr_results.txt")
     with open(results_txt, "w") as rf:
         rf.write("Filename\tTPR\tFPR\n")
-        for f in files:
-            img = np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
-            y = runner(jnp.asarray(img)[None])
+        for f, y in zip(files, outs):
             y = np.asarray(jnp.clip(y, 0.0, 1.0))[0]
             if y.shape[-1] == 1:
                 y = np.repeat(y, 3, axis=-1)
