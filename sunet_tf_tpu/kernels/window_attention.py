@@ -1474,7 +1474,8 @@ def fused_swin_block(
     # budget (~2k tokens at C=96 equivalent — measured to fit in the 16MB
     # scoped limit; override via SUNET_VMEM_TOKENS together with
     # --xla_tpu_scoped_vmem_limit_kib); strips align to window rows.
-    S = _block_strips(H, W, C, ws, train=train)
+    S = _block_strips(H, W, C, ws, train=train,
+                      itemsize=x.dtype.itemsize)
     assert shift == 0 or S == 1, (
         "in-kernel roll needs the whole image per program (S == 1); "
         "gate on roll_fusable()")
@@ -1683,7 +1684,8 @@ def _block_bwd_kernel(x_ref, dout_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
-def _block_strips(H: int, W: int, C: int, ws: int, train: bool = True) -> int:
+def _block_strips(H: int, W: int, C: int, ws: int, train: bool = True,
+                  itemsize: int = 2) -> int:
     """Row strips for the block kernels: window-row aligned, sized to the
     VMEM token budget (SUNET_VMEM_TOKENS overrides both defaults).
 
@@ -1691,22 +1693,29 @@ def _block_strips(H: int, W: int, C: int, ws: int, train: bool = True) -> int:
     set is ~half the backward's, and one whole 64x64x96 stage-0 image per
     program measured FASTER (v5e 256^2 b32: 621.6 vs 602.7 img/s — the
     S=1 grid + in-kernel roll); the backward kernel at the same budget
-    regressed, so training keeps the measured-safe 2048-token strips."""
+    regressed, so training keeps the measured-safe 2048-token strips.
+
+    The budgets are calibrated for bf16 activations (itemsize 2); a
+    fp32 compute dtype doubles the live set, so its effective budget
+    halves — without this the fp32 stage-0 forward overflows scoped VMEM
+    (32.95M vs the 31.84M limit, seen in the round-4 parity run's fp32
+    backend cross-check)."""
     import os as _os
 
     default = 2048 * 96 if train else 4096 * 96
     budget = int(_os.environ.get("SUNET_VMEM_TOKENS", default))
-    tokens_c = H * W * C
+    tokens_c = H * W * C * max(itemsize, 2) // 2
     S = 1
     while tokens_c // S > budget and (H // ws) % (S * 2) == 0:
         S *= 2
     return S
 
 
-def roll_fusable(H: int, W: int, C: int, ws: int, train: bool = True) -> bool:
+def roll_fusable(H: int, W: int, C: int, ws: int, train: bool = True,
+                 itemsize: int = 2) -> bool:
     """True when the block kernels can fuse the SW-MSA cyclic roll
     (each program owns the whole image — one row strip)."""
-    return _block_strips(H, W, C, ws, train=train) == 1
+    return _block_strips(H, W, C, ws, train=train, itemsize=itemsize) == 1
 
 
 def _block_bwd_impl(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
@@ -1718,7 +1727,7 @@ def _block_bwd_impl(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
     N = ws * ws
     h = num_heads
     hidden = w1.shape[1]
-    S = _block_strips(H, W, C, ws)
+    S = _block_strips(H, W, C, ws, itemsize=x.dtype.itemsize)
     assert shift == 0 or S == 1, "in-kernel roll needs S == 1"
     Hs = H // S
     nW = (Hs // ws) * (W // ws)
@@ -2007,7 +2016,8 @@ def fused_swin_block_res(x, ln1, wqkv, bqkv, wproj, bproj, ln2, w1, b1,
     N = ws * ws
     h = num_heads
     hN = h * N
-    S = _block_strips(H, W, C, ws, train=True)
+    S = _block_strips(H, W, C, ws, train=True,
+                      itemsize=x.dtype.itemsize)
     assert shift == 0 or S == 1
     Hs = H // S
     nW = (Hs // ws) * (W // ws)
@@ -2222,7 +2232,7 @@ def _block_bwd_impl_res(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s,
     h = num_heads
     hN = h * N
     hidden = w1.shape[1]
-    S = _block_strips(H, W, C, ws)
+    S = _block_strips(H, W, C, ws, itemsize=x.dtype.itemsize)
     assert shift == 0 or S == 1
     Hs = H // S
     nW = (Hs // ws) * (W // ws)

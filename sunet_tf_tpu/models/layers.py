@@ -348,7 +348,8 @@ class SwinBlock(nnx.Module):
         a = self.attn
         # when each kernel program owns the whole image, the SW-MSA roll
         # fuses into the kernel (VMEM data movement, no XLA roll pair)
-        fuse_roll = ss > 0 and roll_fusable(H, W, C, ws, train=False)
+        fuse_roll = ss > 0 and roll_fusable(H, W, C, ws, train=False,
+                                    itemsize=x.dtype.itemsize)
         xr = x if (ss == 0 or fuse_roll) else roll2d(x, -ss)
         mask = shift_attn_mask(H, W, ws, ss) if ss > 0 else None
         out = fused_swin_block(
@@ -394,7 +395,8 @@ class SwinBlock(nnx.Module):
         # gains. SUNET_TRAIN_ROLL_FUSE=1 re-enables for re-measurement.
         fuse_roll = (ss > 0
                      and os.environ.get("SUNET_TRAIN_ROLL_FUSE", "0") == "1"
-                     and roll_fusable(H, W, C, self.window_size))
+                     and roll_fusable(H, W, C, self.window_size,
+                                      itemsize=x.dtype.itemsize))
         xr = x if (ss == 0 or fuse_roll) else roll2d(x, -ss)
         # Residual-saving variant for blockdiag geometries (default): the
         # fwd kernel stores the softmax state so the bwd kernel skips the
