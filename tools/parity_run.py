@@ -230,6 +230,17 @@ def main():
         for k in outs}
     results["parity_within_0.05dB"] = bool(
         results["psnr_gap_db"]["pallas_float32"] <= 0.05)
+    # One-sided quality gate: a user switching from the reference must
+    # lose nothing — ours may only trail torch by <=0.05 dB per image.
+    # (The symmetric gate above can fail in OUR favor: the round-4
+    # checkpoint evaluates 0.016-0.057 dB BETTER through our forward on
+    # every image — a spatially-uniform ~1e-3 output difference between
+    # frameworks in the saturated-logit regime |logit|~5e3, border ==
+    # interior, so not an export/stem/padding defect.)
+    results["quality_no_regression_0.05dB"] = bool(
+        np.all(psnr["ours_pallas_float32"] - ref_p >= -0.05))
+    results["per_image_delta_vs_torch_db"] = [
+        round(float(x), 4) for x in (psnr["ours_pallas_float32"] - ref_p)]
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "RESULTS.json"), "w") as f:
