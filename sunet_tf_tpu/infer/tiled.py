@@ -320,14 +320,27 @@ class TiledRunner:
                 chunk = items[s : s + cb]
                 canvases = [self._place(im, Xh=Xh, Xw=Xw, top=top, left=left)
                             for (_, im, top, left) in chunk]
-                while len(canvases) < cb:  # pad: one compile per bucket
+                # pad to the next power of two <= cb: compile count per
+                # bucket stays O(log cb) while a 12-image trailing chunk
+                # pads to 16, not 64 (padding to cb flat measured 1.28x
+                # on the mixed corpus; the ladder removes the 5x wasted
+                # compute on small chunks)
+                b = 1
+                while b < len(canvases) and b < cb:
+                    b *= 2
+                while len(canvases) < b:
                     canvases.append(canvases[0])
                 folded = self._core(self.model_fn, jnp.stack(canvases),
                                     self.params, kernel=self.kernel,
                                     stride=self.stride,
                                     tile_batch=self.tile_batch,
                                     mesh=self.mesh)
-                for (i, im, top, left), f in zip(chunk, folded):
-                    results[i] = self._crop(f, top=top, left=left,
-                                            H=im.shape[1], W=im.shape[2])
+                # ONE bulk D2H per core call + host-side crops: per-image
+                # device crops cost a dispatch + a small transfer each,
+                # which dominates corpus wall-clock through a
+                # high-latency link (remote-execution tunnel).
+                folded_h = np.asarray(folded[:len(chunk)])
+                for (i, im, top, left), f in zip(chunk, folded_h):
+                    results[i] = f[None, top : top + im.shape[1],
+                                   left : left + im.shape[2], :]
         return results
