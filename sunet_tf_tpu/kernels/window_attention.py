@@ -735,12 +735,15 @@ def _attn_tmp_bytes(nW: int, N: int, num_heads: int, C: int) -> int:
     reuses dead buffers, so summing all phases over-requests the window,
     which measurably constrains XLA scheduling around the kernel).
 
-    per-head: one (nW, N, N) fp32 score + bf16 prob pair live at a time.
+    per-head: TWO (nW, N, N) fp32 score + bf16 prob pairs — Mosaic
+    overlaps consecutive heads' dots, so one live pair under-requests
+    (the shift-softmax path at the scaled N=256 geometry measured 589KB
+    over a one-pair estimate whose phase max was the MLP term).
     blockdiag: max of the QK phase (block-diag K + fp32 lane-concat
     scores), the softmax phase (fp32 scores + bf16 exp), and the PV
     phase (bf16 exp + block-diag V + fp32 num/den)."""
     if _attn_layout(C // num_heads, N, C) != "blockdiag":
-        return nW * N * N * (4 + 2)
+        return 2 * nW * N * N * (4 + 2)
     hN = num_heads * N
     qk = nW * C * hN * 2 + nW * N * hN * 4
     sm = nW * N * hN * (4 + 2)
@@ -860,10 +863,18 @@ def _attn_core(q, k, v, bias_ref, mask, *, num_heads: int, scale: float):
     f32 = jnp.float32
     if _attn_layout(d, N, C) != "blockdiag":
         heads_out = []
+        # bf16 matmul inputs + fp32 accumulation — the XLA path's and the
+        # blockdiag core's precision exactly (models/layers.py:225-249).
+        # The old fp32-input dot ran the MXU at its fp32 rate (~1/7 of
+        # bf16 on v5e) and materialized two fp32 convert passes per head;
+        # scaled stage-0 (d=30, N=256, h=6) measured 2.51 ms/block with
+        # it. scale is applied in bf16 (power of two for the reference
+        # recipe — lossless; head_dim**-0.5 otherwise, one rounding).
+        qsc = (q.astype(f32) * scale).astype(q.dtype)
         for head in range(h):
             sl = slice(head * d, (head + 1) * d)
-            qh = q[:, :, sl].astype(f32) * scale
-            kh = k[:, :, sl].astype(f32)
+            qh = qsc[:, :, sl]
+            kh = k[:, :, sl]
             s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                     preferred_element_type=f32)
             s = s + bias_ref[head][None]
@@ -971,10 +982,13 @@ def _attn_core_fwd_res(q, k, v, bias_ref, mask, *, num_heads: int,
     if _attn_layout_bwd(d, N, C) != "blockdiag":
         ps = []
         ctx_heads = []
+        # bf16 dot inputs + fp32 accum — must recompute the EXACT forward
+        # math (_attn_core switched to bf16 score dots, see its comment)
+        qsc = (q.astype(f32) * scale).astype(dt)
         for head in range(h):
             sl = slice(head * d, (head + 1) * d)
-            qh = q[:, :, sl].astype(f32) * scale
-            kh = k[:, :, sl].astype(f32)
+            qh = qsc[:, :, sl]
+            kh = k[:, :, sl]
             s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
                                     preferred_element_type=f32)
             s = s + bias_ref[head][None]
@@ -2403,10 +2417,12 @@ def _strip_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     v = qkv[:, 2 * C:].reshape(nw, N, C)
 
     heads_out = []
+    # bf16 dot inputs + fp32 accum (see _attn_core)
+    qsc = (q.astype(jnp.float32) * scale).astype(x_ref.dtype)
     for head in range(h):
         sl = slice(head * d, (head + 1) * d)
-        qh = q[:, :, sl].astype(jnp.float32) * scale
-        kh = k[:, :, sl].astype(jnp.float32)
+        qh = qsc[:, :, sl]
+        kh = k[:, :, sl]
         s = jax.lax.dot_general(
             qh, kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # (nw, N, N)
