@@ -37,6 +37,9 @@ def main():
     args = p.parse_args()
 
     import jax
+    from sunet_tf_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     from flax import nnx
     from PIL import Image

@@ -28,6 +28,9 @@ def _list(d):
 
 
 def main():
+    from sunet_tf_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="PSNR/SSIM directory evaluation")
     p.add_argument("--gt_dir", required=True)
     p.add_argument("--pred_dir", required=True)

@@ -35,6 +35,9 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+    from sunet_tf_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     from flax import nnx
 

@@ -16,6 +16,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    from sunet_tf_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="Train SUNet (TPU-native)")
     p.add_argument("--config", default="training.yaml")
     p.add_argument("--task", default=None, choices=[None, "mask", "denoise"],

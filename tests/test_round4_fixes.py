@@ -43,3 +43,29 @@ def test_fp32_pallas_block_fwd_bwd_consistent_strips():
     l, g = jax.jit(jax.value_and_grad(loss))(params, x)
     assert np.isfinite(float(l))
     assert all(bool(jnp.isfinite(a).all()) for a in jax.tree.leaves(g))
+
+
+def test_shift_softmax_exact_at_standard_scaling(monkeypatch):
+    """SUNET_SOFTMAX=shift (the +10% scaled-config mode) must equal the
+    exact rowmax softmax when logits are bounded — the scaled recipe
+    uses qk_scale=None (head_dim**-0.5), unlike the reference's
+    QK_SCALE=8 logit-exploding default."""
+    import jax
+    from flax import nnx
+
+    from sunet_tf_tpu.config import tiny_config
+    from sunet_tf_tpu.models.sunet import build_model
+
+    cfg = tiny_config(qk_scale=None)
+    cfg = cfg.replace(tpu=cfg.tpu.__class__(compute_dtype="float32",
+                                            attention_backend="pallas"))
+    x = jnp.asarray(np.random.default_rng(3).random((2, 64, 64, 3)),
+                    jnp.float32)
+    outs = {}
+    for mode in ("rowmax", "shift"):
+        monkeypatch.setenv("SUNET_SOFTMAX", mode)
+        model = build_model(cfg, seed=0)
+        gd, params = nnx.split(model, nnx.Param)
+        outs[mode] = jax.jit(lambda p, xx: nnx.merge(gd, p)(xx))(params, x)
+    err = float(jnp.max(jnp.abs(outs["rowmax"] - outs["shift"])))
+    assert err < 1e-5, err
