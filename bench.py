@@ -218,7 +218,13 @@ def bench_train(batch=None):
                 t0 = time.perf_counter()
                 state[0], state[1] = chain(state[0], state[1], b,
                                            jnp.int32(k))
-                jax.block_until_ready(state[0])
+                # Real D2H of one element: block_until_ready can return
+                # lazily through the remote-execution tunnel (measured: a
+                # warm process read 66.5 ms/step where standalone
+                # processes and xprof both say 78; the other bench modes
+                # already sync via float(chain(...)) and never drifted).
+                leaf = jax.tree.leaves(state[0])[0]
+                np.asarray(leaf[(0,) * leaf.ndim])
                 best = min(best, time.perf_counter() - t0)
             return best
 
