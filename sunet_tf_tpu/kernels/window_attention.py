@@ -675,6 +675,18 @@ def _shift_softmax(s: jnp.ndarray) -> jnp.ndarray:
     return e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-37)
 
 
+def _softmax_num_den(s: jnp.ndarray):
+    """_shift_softmax split into (numerator exponentials, row denominator)
+    so callers can defer the divide out of score space (see _attn_core's
+    perhead branch); same mode selection and math."""
+    if _softmax_mode() == "rowmax":
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        return e, jnp.sum(e, axis=-1, keepdims=True)
+    e = jnp.exp(jnp.minimum(s, 80.0) - 40.0)
+    return e, jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-37)
+
+
 def _pad128(v: int) -> int:
     return -(-v // 128) * 128
 
@@ -735,15 +747,18 @@ def _attn_tmp_bytes(nW: int, N: int, num_heads: int, C: int) -> int:
     reuses dead buffers, so summing all phases over-requests the window,
     which measurably constrains XLA scheduling around the kernel).
 
-    per-head: TWO (nW, N, N) fp32 score + bf16 prob pairs — Mosaic
-    overlaps consecutive heads' dots, so one live pair under-requests
-    (the shift-softmax path at the scaled N=256 geometry measured 589KB
-    over a one-pair estimate whose phase max was the MLP term).
+    per-head: THREE (nW, N, N) fp32 score + bf16 exp pairs — Mosaic
+    overlaps consecutive heads' dots, and the deferred-normalization
+    form keeps e + den + the pre-divide context co-live (measured: a
+    one-pair estimate ran 589KB short at the scaled N=256 geometry, a
+    two-pair one 2.83M short after the num/den split; Mosaic grows its
+    overlap depth with the granted window, so FOUR pairs is the fixed
+    point that compiles the shift-mode N=256 kernel).
     blockdiag: max of the QK phase (block-diag K + fp32 lane-concat
     scores), the softmax phase (fp32 scores + bf16 exp), and the PV
     phase (bf16 exp + block-diag V + fp32 num/den)."""
     if _attn_layout(C // num_heads, N, C) != "blockdiag":
-        return 2 * nW * N * N * (4 + 2)
+        return 4 * nW * N * N * (4 + 2)
     hN = num_heads * N
     qk = nW * C * hN * 2 + nW * N * hN * 4
     sm = nW * N * hN * (4 + 2)
@@ -880,10 +895,15 @@ def _attn_core(q, k, v, bias_ref, mask, *, num_heads: int, scale: float):
             s = s + bias_ref[head][None]
             if mask is not None:
                 s = s + mask
-            p = _shift_softmax(s).astype(v.dtype)
-            heads_out.append(jax.lax.dot_general(
-                p, v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32))
+            # deferred normalization (the blockdiag num/den trick): the
+            # divide moves from (N, N) score space to (N, d) context
+            # space — one fewer full score pass per head. e is cast bf16
+            # before the PV dot exactly like p was.
+            e, den = _softmax_num_den(s)
+            ctx_h = jax.lax.dot_general(
+                e.astype(v.dtype), v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32)
+            heads_out.append(ctx_h / jnp.maximum(den, 1e-37))
         return jnp.concatenate(heads_out, axis=-1)
 
     eb, den, num = _bd_fwd_core(q, k, v, bias_ref, mask,
@@ -2429,11 +2449,12 @@ def _strip_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         s = s + bias_ref[head][None]
         if has_mask:
             s = s + mask_ref[...]
-        p = _shift_softmax(s).astype(v.dtype)
+        # deferred normalization — see _attn_core's perhead branch
+        e, den = _softmax_num_den(s)
         ch = jax.lax.dot_general(
-            p, v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+            e.astype(v.dtype), v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        heads_out.append(ch)
+        heads_out.append(ch / jnp.maximum(den, 1e-37))
     ctx = jnp.concatenate(heads_out, axis=-1).astype(x_ref.dtype)  # (nw,N,C)
 
     out = jnp.dot(ctx.reshape(nw * N, C), wproj_ref[...],
