@@ -712,6 +712,33 @@ def _cyc2(t: jnp.ndarray, s: int) -> jnp.ndarray:
     return _cyc(_cyc(t, s, 0), s, 1)
 
 
+def _grouped_g(d: int, N: int, h: int) -> int:
+    """Largest head-group size g (divisor of h, g > 1) whose g·d-lane
+    block-diagonal core is not MAC-dominated by the padded perhead dot:
+    pad(g·d)·N ≤ pad(d)·pad(N) (ties go to blockdiag — full-lane softmax,
+    h/g dots instead of h, one bias/mask pass per GROUP). 1 = stay
+    perhead. SUNET_GROUPED_PERHEAD=0 disables.
+
+    Motivation: small head dims pad ruinously on the MXU (d=30 → 128,
+    4.3×); packing g heads to ≤128 lanes recovers the lanes at equal
+    padded MACs. Scaled config: d=30 → g=3 (stage 0, h=6) / g=4
+    (stage 1, h=12); default model: d=48 → g=4, d=96 → g=2."""
+    import os as _os
+
+    if _os.environ.get("SUNET_GROUPED_PERHEAD", "1") != "1":
+        return 1
+    if _softmax_mode() != "rowmax":
+        # grouping's win is killing the per-head max lane-slices; under
+        # the shift softmax there is no max, and the bd tile construction
+        # overhead loses (scaled shift: perhead 84.4 vs grouped 81.6
+        # img/s; rowmax: grouped 79.2 vs perhead 77.3)
+        return 1
+    for g in range(h, 1, -1):
+        if h % g == 0 and _pad128(g * d) * N <= _pad128(d) * _pad128(N):
+            return g
+    return 1
+
+
 def _attn_layout(head_dim: int = 0, N: int = 0, C: int = 0) -> str:
     """Attention-core layout: 'auto' (default), 'blockdiag', or 'perhead'
     via SUNET_ATTN_LAYOUT.
@@ -757,13 +784,22 @@ def _attn_tmp_bytes(nW: int, N: int, num_heads: int, C: int) -> int:
     blockdiag: max of the QK phase (block-diag K + fp32 lane-concat
     scores), the softmax phase (fp32 scores + bf16 exp), and the PV
     phase (bf16 exp + block-diag V + fp32 num/den)."""
+    def bd(h_, C_):
+        hN = h_ * N
+        qk = nW * C_ * hN * 2 + nW * N * hN * 4
+        sm = nW * N * hN * (4 + 2)
+        pv = nW * N * hN * 2 + nW * hN * C_ * 2 + 2 * nW * N * C_ * 4
+        return max(qk, sm, pv)
+
     if _attn_layout(C // num_heads, N, C) != "blockdiag":
+        d = C // num_heads
+        g = _grouped_g(d, N, num_heads)
+        if g > 1:
+            # grouped blockdiag: two groups' peaks co-live (overlap)
+            # plus the fp32 group outputs accumulating toward the concat
+            return 2 * bd(g, g * d) + nW * N * C * 4
         return 4 * nW * N * N * (4 + 2)
-    hN = num_heads * N
-    qk = nW * C * hN * 2 + nW * N * hN * 4
-    sm = nW * N * hN * (4 + 2)
-    pv = nW * N * hN * 2 + nW * hN * C * 2 + 2 * nW * N * C * 4
-    return max(qk, sm, pv)
+    return bd(num_heads, C)
 
 
 def _attn_bwd_tmp_bytes(nW: int, N: int, num_heads: int, C: int) -> int:
@@ -877,6 +913,21 @@ def _attn_core(q, k, v, bias_ref, mask, *, num_heads: int, scale: float):
     d = C // h
     f32 = jnp.float32
     if _attn_layout(d, N, C) != "blockdiag":
+        g = _grouped_g(d, N, h)
+        if g > 1:
+            # grouped blockdiag: run the existing blockdiag core on g
+            # heads at a time (C_group = g*d ≤ ~128 lanes) — equal padded
+            # MACs to perhead, but full-lane softmax, h/g dots instead of
+            # h, and one bias/mask pass per group.
+            outs = []
+            for gi in range(h // g):
+                sl = slice(gi * g * d, (gi + 1) * g * d)
+                _, den, num = _bd_fwd_core(
+                    q[:, :, sl], k[:, :, sl], v[:, :, sl],
+                    bias_ref[gi * g:(gi + 1) * g], mask,
+                    num_heads=g, scale=scale)
+                outs.append(num / jnp.maximum(den, 1e-37))
+            return jnp.concatenate(outs, axis=-1)
         heads_out = []
         # bf16 matmul inputs + fp32 accumulation — the XLA path's and the
         # blockdiag core's precision exactly (models/layers.py:225-249).
