@@ -69,3 +69,33 @@ def test_shift_softmax_exact_at_standard_scaling(monkeypatch):
         outs[mode] = jax.jit(lambda p, xx: nnx.merge(gd, p)(xx))(params, x)
     err = float(jnp.max(jnp.abs(outs["rowmax"] - outs["shift"])))
     assert err < 1e-5, err
+
+
+def test_grouped_blockdiag_matches_perhead(monkeypatch):
+    """_grouped_g routes small-head-dim perhead attention through the
+    blockdiag core in g-head groups; outputs must match the plain
+    perhead loop (fp32: identical math up to num/den association)."""
+    import jax
+
+    from sunet_tf_tpu.kernels.window_attention import (
+        _attn_core,
+        _grouped_g,
+    )
+
+    nW, N, h, d = 4, 64, 8, 48  # default-model stage-2 geometry
+    C = h * d
+    assert _grouped_g(d, N, h) == 4
+    r = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(r.standard_normal((nW, N, C)), jnp.float32)
+               for _ in range(3))
+    bias = jnp.asarray(r.standard_normal((h, N, N)), jnp.float32)
+    mask = jnp.asarray(r.standard_normal((nW, N, N)), jnp.float32)
+
+    def run():
+        return _attn_core(q, k, v, bias, mask, num_heads=h, scale=0.25)
+
+    grouped = run()
+    monkeypatch.setenv("SUNET_GROUPED_PERHEAD", "0")
+    perhead = run()
+    err = float(jnp.max(jnp.abs(grouped - perhead)))
+    assert err < 1e-4, err
