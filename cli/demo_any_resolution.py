@@ -87,33 +87,57 @@ def main():
 
     print("Restoring images...")
     # batched corpus path: same-bucket canvases run as one forward (the
-    # reference loops images serially, demo_any_resolution.py:111-146)
-    images = [np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
-              for f in files]
-    outs = runner.run_corpus(images)
+    # reference loops images serially, demo_any_resolution.py:111-146).
+    # Decode in bounded chunks: run_corpus wants a slab of decoded images
+    # to bucket, but an unbounded corpus of large images would exhaust
+    # host RAM on the 1-core host — cap resident decoded pixels per chunk
+    # (bucket grouping still batches within each chunk).
+    CHUNK = 256
     results_txt = os.path.join(args.result_dir, "tpr_fpr_results.txt")
     with open(results_txt, "w") as rf:
         rf.write("Filename\tTPR\tFPR\n")
-        for f, y in zip(files, outs):
-            y = np.asarray(jnp.clip(y, 0.0, 1.0))[0]
-            if y.shape[-1] == 1:
-                y = np.repeat(y, 3, axis=-1)
-            out = (y * 255.0 + 0.5).astype(np.uint8)
-            name = os.path.splitext(os.path.basename(f))[0]
-            Image.fromarray(out).save(os.path.join(args.result_dir, name + ".bmp"))
-
-            if args.mask_dir:
-                mask_path = os.path.join(args.mask_dir, os.path.basename(f))
-                if os.path.exists(mask_path):
-                    mask = np.asarray(Image.open(mask_path).convert("L"))
-                    pred_gray = (0.2989 * out[..., 0] + 0.5870 * out[..., 1]
-                                 + 0.1140 * out[..., 2]).astype(np.uint8)
-                    tpr, fpr = tpr_fpr(pred_gray, mask)
-                    print(f"{os.path.basename(f)} — TPR: {tpr:.4f}, FPR: {fpr:.4f}")
-                    rf.write(f"{os.path.basename(f)}\t{tpr:.4f}\t{fpr:.4f}\n")
-                else:
-                    print(f"Mask not found for {f}, skipping TPR/FPR.")
+        for files_c, outs in _chunked_corpus(files, runner, CHUNK):
+            _write_results(files_c, outs, args, rf)
     print(f"\nAll results saved in: {args.result_dir}")
+
+
+def _chunked_corpus(files, runner, chunk):
+    import numpy as np
+    from PIL import Image
+
+    for i in range(0, len(files), chunk):
+        files_c = files[i:i + chunk]
+        images = [np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
+                  for f in files_c]
+        yield files_c, runner.run_corpus(images)
+
+
+def _write_results(files, outs, args, rf):
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from sunet_tf_tpu.ops.metrics import tpr_fpr
+
+    for f, y in zip(files, outs):
+        y = np.asarray(jnp.clip(y, 0.0, 1.0))[0]
+        if y.shape[-1] == 1:
+            y = np.repeat(y, 3, axis=-1)
+        out = (y * 255.0 + 0.5).astype(np.uint8)
+        name = os.path.splitext(os.path.basename(f))[0]
+        Image.fromarray(out).save(os.path.join(args.result_dir, name + ".bmp"))
+
+        if args.mask_dir:
+            mask_path = os.path.join(args.mask_dir, os.path.basename(f))
+            if os.path.exists(mask_path):
+                mask = np.asarray(Image.open(mask_path).convert("L"))
+                pred_gray = (0.2989 * out[..., 0] + 0.5870 * out[..., 1]
+                             + 0.1140 * out[..., 2]).astype(np.uint8)
+                tpr, fpr = tpr_fpr(pred_gray, mask)
+                print(f"{os.path.basename(f)} — TPR: {tpr:.4f}, FPR: {fpr:.4f}")
+                rf.write(f"{os.path.basename(f)}\t{tpr:.4f}\t{fpr:.4f}\n")
+            else:
+                print(f"Mask not found for {f}, skipping TPR/FPR.")
 
 
 if __name__ == "__main__":

@@ -318,21 +318,25 @@ class SwinBlock(nnx.Module):
     def _attention_fused(self, x_raw: jnp.ndarray, ss: int) -> jnp.ndarray:
         """Raw (pre-LN) NHWC map -> attention sublayer output via the
         Pallas row-strip kernel (LN + partition + W-MSA + proj fused)."""
-        from sunet_tf_tpu.kernels.window_attention import fused_ln_window_attention
+        from sunet_tf_tpu.kernels.window_attention import (
+            fused_ln_window_attention,
+            softmax_autoselect,
+        )
 
         B, H, W, C = x_raw.shape
         ws = self.window_size
         x = roll2d(x_raw, -ss)
         mask = shift_attn_mask(H, W, ws, ss) if ss > 0 else None
         a = self.attn
-        x = fused_ln_window_attention(
-            x, self.norm1.scale[...], self.norm1.bias[...],
-            a.qkv.kernel[...].astype(x.dtype),
-            None if a.qkv.bias is None else a.qkv.bias[...],
-            a.proj.kernel[...].astype(x.dtype), a.proj.bias[...],
-            a.bias_matrix(),
-            None if mask is None else jnp.asarray(mask),
-            ws=ws, num_heads=a.num_heads, scale=a.scale)
+        with softmax_autoselect(a.scale, C // a.num_heads):
+            x = fused_ln_window_attention(
+                x, self.norm1.scale[...], self.norm1.bias[...],
+                a.qkv.kernel[...].astype(x.dtype),
+                None if a.qkv.bias is None else a.qkv.bias[...],
+                a.proj.kernel[...].astype(x.dtype), a.proj.bias[...],
+                a.bias_matrix(),
+                None if mask is None else jnp.asarray(mask),
+                ws=ws, num_heads=a.num_heads, scale=a.scale)
         return roll2d(x, ss)
 
     def _fused_block(self, x: jnp.ndarray, ss: int) -> jnp.ndarray:
@@ -341,6 +345,7 @@ class SwinBlock(nnx.Module):
         from sunet_tf_tpu.kernels.window_attention import (
             fused_swin_block,
             roll_fusable,
+            softmax_autoselect,
         )
 
         H, W, C = x.shape[1], x.shape[2], x.shape[3]
@@ -352,19 +357,20 @@ class SwinBlock(nnx.Module):
                                     itemsize=x.dtype.itemsize)
         xr = x if (ss == 0 or fuse_roll) else roll2d(x, -ss)
         mask = shift_attn_mask(H, W, ws, ss) if ss > 0 else None
-        out = fused_swin_block(
-            xr,
-            (self.norm1.scale[...], self.norm1.bias[...]),
-            a.qkv.kernel[...].astype(x.dtype),
-            None if a.qkv.bias is None else a.qkv.bias[...],
-            a.proj.kernel[...].astype(x.dtype), a.proj.bias[...],
-            (self.norm2.scale[...], self.norm2.bias[...]),
-            self.mlp.fc1.kernel[...].astype(x.dtype), self.mlp.fc1.bias[...],
-            self.mlp.fc2.kernel[...].astype(x.dtype), self.mlp.fc2.bias[...],
-            a.bias_matrix(),
-            None if mask is None else jnp.asarray(mask),
-            ws=ws, num_heads=a.num_heads, scale=a.scale,
-            shift=ss if fuse_roll else 0)
+        with softmax_autoselect(a.scale, C // a.num_heads):
+            out = fused_swin_block(
+                xr,
+                (self.norm1.scale[...], self.norm1.bias[...]),
+                a.qkv.kernel[...].astype(x.dtype),
+                None if a.qkv.bias is None else a.qkv.bias[...],
+                a.proj.kernel[...].astype(x.dtype), a.proj.bias[...],
+                (self.norm2.scale[...], self.norm2.bias[...]),
+                self.mlp.fc1.kernel[...].astype(x.dtype), self.mlp.fc1.bias[...],
+                self.mlp.fc2.kernel[...].astype(x.dtype), self.mlp.fc2.bias[...],
+                a.bias_matrix(),
+                None if mask is None else jnp.asarray(mask),
+                ws=ws, num_heads=a.num_heads, scale=a.scale,
+                shift=ss if fuse_roll else 0)
         return out if (ss == 0 or fuse_roll) else roll2d(out, ss)
 
     def _trainable_block(self, x: jnp.ndarray, ss: int, kd1, kd2) -> jnp.ndarray:
@@ -492,6 +498,70 @@ class SwinBlock(nnx.Module):
                 y = self.mlp(self.norm2(x).astype(x.dtype), key=km)
                 x = x + drop_path(y, self.drop_path_rate, kd2)
         return x
+
+
+def pair_fuse_eligible(blk_a: "SwinBlock", blk_b: "SwinBlock",
+                       x: jnp.ndarray) -> bool:
+    """True when two consecutive inference blocks can run as ONE W->SW
+    pair kernel (kernels/window_attention.py::fused_swin_block_pair):
+    both on the pallas path, a W-MSA (shift 0) followed by an SW-MSA,
+    same window, and the whole image fits one program (roll_fusable) so
+    the SW roll stays in VMEM. SUNET_PAIR_FUSE=0 opts out."""
+    from sunet_tf_tpu.kernels.window_attention import roll_fusable
+
+    if os.environ.get("SUNET_PAIR_FUSE", "1") == "0":
+        return False
+    B, H, W, C = x.shape
+    if C < int(os.environ.get("SUNET_PAIR_MIN_C", "192")):
+        # stage-0 geometry (C=96, 64x64): the pair kernel measured SLOWER
+        # than two singles (2.48 vs 1.08+1.20 ms, xprof b32) — the giant
+        # blockdiag score temporaries (~15MB) co-scheduled across two
+        # blocks cost more than the inter-block HBM crossing, which the
+        # grid pipeline already fully overlaps. C>=192 stages win/wash.
+        return False
+    return (blk_a.backend == "pallas" and blk_b.backend == "pallas"
+            and not blk_a.ablate and not blk_b.ablate
+            and blk_a.shift_size == 0 and blk_b.shift_size > 0
+            and blk_a.window_size == blk_b.window_size
+            and blk_a.dim == C and blk_b.dim == C
+            and C <= _kernel_max_c(train=False)
+            and roll_fusable(H, W, C, blk_a.window_size, train=False,
+                             itemsize=x.dtype.itemsize))
+
+
+def run_fused_pair(blk_a: "SwinBlock", blk_b: "SwinBlock",
+                   x: jnp.ndarray) -> jnp.ndarray:
+    """Run a W-MSA + SW-MSA block pair through the single pair kernel
+    (gate with pair_fuse_eligible)."""
+    from sunet_tf_tpu.kernels.window_attention import (
+        fused_swin_block_pair,
+        softmax_autoselect,
+    )
+
+    B, H, W, C = x.shape
+    ws = blk_a.window_size
+    ss = blk_b.shift_size
+
+    def params(blk):
+        a = blk.attn
+        return (blk.norm1.scale[...], blk.norm1.bias[...],
+                a.qkv.kernel[...].astype(x.dtype),
+                (jnp.zeros((3 * C,), jnp.float32) if a.qkv.bias is None
+                 else a.qkv.bias[...]),
+                a.proj.kernel[...].astype(x.dtype), a.proj.bias[...],
+                blk.norm2.scale[...], blk.norm2.bias[...],
+                blk.mlp.fc1.kernel[...].astype(x.dtype),
+                blk.mlp.fc1.bias[...],
+                blk.mlp.fc2.kernel[...].astype(x.dtype),
+                blk.mlp.fc2.bias[...])
+
+    a = blk_a.attn
+    with softmax_autoselect(a.scale, C // a.num_heads):
+        return fused_swin_block_pair(
+            x, params(blk_a), params(blk_b),
+            a.bias_matrix(), blk_b.attn.bias_matrix(),
+            jnp.asarray(shift_attn_mask(H, W, ws, ss)),
+            ws=ws, num_heads=a.num_heads, scale=a.scale, shift=ss)
 
 
 class PatchMerging(nnx.Module):

@@ -104,8 +104,24 @@ class SwinStage(nnx.Module):
             if self.resample is not None:
                 x = self.resample(x)
             return x
-        for i, blk in enumerate(self.blocks):
+        from sunet_tf_tpu.models.layers import (
+            pair_fuse_eligible,
+            run_fused_pair,
+        )
+
+        blocks = list(self.blocks)
+        i = 0
+        while i < len(blocks):
+            blk = blocks[i]
             bk = None if key is None else jax.random.fold_in(key, i)
+            # W->SW pair fusion (inference): two consecutive blocks as ONE
+            # Pallas program — the inter-block activation never crosses HBM
+            if (key is None and not self.use_checkpoint
+                    and i + 1 < len(blocks)
+                    and pair_fuse_eligible(blk, blocks[i + 1], x)):
+                x = run_fused_pair(blk, blocks[i + 1], x)
+                i += 2
+                continue
             if self.use_checkpoint:
                 gd, params = nnx.split(blk, nnx.Param)
 
@@ -118,6 +134,7 @@ class SwinStage(nnx.Module):
                     x = jax.checkpoint(run)(params, x, bk)
             else:
                 x = blk(x, bk)
+            i += 1
         if self.resample is not None:
             x = self.resample(x)
         return x

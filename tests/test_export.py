@@ -71,3 +71,33 @@ def test_export_weights_agnostic(exported):
                                   np.asarray(live(params2, x)))
     assert np.abs(np.asarray(sm(params2, x)) -
                   np.asarray(live(params, x))).max() > 0
+
+
+def test_export_tiled_nonsquare_canvas(exported, tmp_path):
+    """VERDICT r4 #8: the arbitrary-resolution tiled program exports as a
+    per-canvas-bucket artifact (pad+tile+forward+fold in ONE exported fn)
+    and replays the live TiledRunner bit-exactly on a non-square canvas."""
+    from sunet_tf_tpu.infer.export import TiledServingModel, save_exported_tiled
+    from sunet_tf_tpu.infer.tiled import TiledRunner
+
+    _, params, _, _ = exported
+    model = build_model(tiny_config())
+    graphdef, _ = nnx.split(model, nnx.Param)
+    out = str(tmp_path / "tiled_artifact")
+
+    def model_fn(p, t):
+        return nnx.merge(graphdef, p)(t)
+
+    runner = TiledRunner(model_fn, params, kernel=64, stride=32)
+    img = jax.random.uniform(jax.random.key(2), (1, 70, 130, 3))
+    live = runner(img)
+
+    bucket = runner.bucket(70, 130)
+    assert bucket[0] != bucket[1]  # non-square canvas
+    meta = save_exported_tiled(out, graphdef, params, [bucket],
+                               kernel=64, stride=32)
+    assert meta["buckets"] == [list(bucket)]
+    sm = TiledServingModel(out)
+    got = sm(params, img)
+    assert got.shape == live.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(live))

@@ -224,6 +224,32 @@ def main():
                                  for k, v in psnr.items()}
     results["psnr_mean"] = {k: round(float(v.mean()), 3)
                             for k, v in psnr.items()}
+
+    # ---- per-image SSIM across frameworks (the reference eval protocol
+    # is half SSIM, evaluation.m:61-64) — scored by the independent
+    # float64 scipy oracle (tools/ssim_oracle.py, itself pinned against
+    # ops/image.py::ssim in tests) on clipped outputs
+    from tools.ssim_oracle import ssim_oracle
+
+    def clip01(a):
+        return np.clip(a, 0.0, 1.0)
+
+    ssim_cols = {"noisy": ssim_oracle(targets, clip01(noisy)),
+                 "torch_reference": ssim_oracle(targets, clip01(ref_out))}
+    for k in ("pallas_float32", "pallas_bfloat16"):
+        ssim_cols[f"ours_{k}"] = ssim_oracle(targets, clip01(outs[k]))
+    results["per_image_ssim"] = {k: [round(float(x), 5) for x in v]
+                                 for k, v in ssim_cols.items()}
+    results["ssim_mean"] = {k: round(float(v.mean()), 5)
+                            for k, v in ssim_cols.items()}
+    results["ssim_gap_vs_torch"] = {
+        k: round(float(np.max(np.abs(ssim_cols[k]
+                                     - ssim_cols["torch_reference"]))), 5)
+        for k in ssim_cols if k.startswith("ours_")}
+    # same one-sided no-regression reading as PSNR
+    results["ssim_no_regression_0.002"] = bool(np.all(
+        ssim_cols["ours_pallas_float32"]
+        - ssim_cols["torch_reference"] >= -0.002))
     ref_p = psnr["torch_reference"]
     results["psnr_gap_db"] = {
         k: round(float(np.max(np.abs(psnr[f"ours_{k}"] - ref_p))), 4)
