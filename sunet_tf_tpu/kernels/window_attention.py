@@ -63,7 +63,14 @@ def _compiler_params(block_bytes: int = 0, tmp_bytes: int = 0):
     kib = _os.environ.get("SUNET_VMEM_LIMIT_KIB")
     if kib is not None:
         return pltpu.CompilerParams(vmem_limit_bytes=int(kib) * 1024)
-    need = int(block_bytes * 2) + tmp_bytes + 4 * 1024 * 1024
+    # Under default_matmul_precision=highest (the fp32 parity path,
+    # models/sunet.py round-5 fix), Mosaic lowers fp32 dots as bf16x3
+    # with hi/lo operand splits — the kernel live set grows ~1.5-2x
+    # beyond the bf16-calibrated estimates (measured: a 16.2M-sized
+    # stage-0 fp32 block kernel allocated 24.6M and OOMed scoped VMEM).
+    scale = 2 if str(jax.config.jax_default_matmul_precision).lower() in (
+        "highest", "float32") else 1
+    need = (int(block_bytes * 2) + tmp_bytes) * scale + 4 * 1024 * 1024
     if need <= 16 * 1024 * 1024:
         return None
     return pltpu.CompilerParams(

@@ -286,6 +286,20 @@ class SUNet(nnx.Module):
         call). Combine with ``constrain`` so the non-Swin layers stay
         GSPMD-partitioned between runner stages.
         """
+        # compute_dtype float32 means FLOAT32: on TPU, XLA's DEFAULT
+        # matmul/conv precision truncates fp32 operands to bf16 for the
+        # MXU, which made the whole "fp32" forward effectively
+        # bf16-input precision — a uniform ~1e-3 divergence from the
+        # exact math that the round-5 fp64 oracle pinned to conv_first
+        # (torch fp32 tracks its fp64 at 2e-7; ours sat at 1.1e-3).
+        # HIGHEST = 3-pass bf16x3 ≈ true fp32 on the MXU; no-op on CPU
+        # and for the bf16 shipping path (bf16 operands are native).
+        if self.compute_dtype is None:
+            with jax.default_matmul_precision("highest"):
+                return self._forward(x, key, constrain, stage_runner)
+        return self._forward(x, key, constrain, stage_runner)
+
+    def _forward(self, x: jnp.ndarray, key, constrain, stage_runner) -> jnp.ndarray:
         cfg = self.cfg
         c = (lambda t: t) if constrain is None else constrain
         if x.shape[-1] == 1 and cfg.in_chans == 3:

@@ -101,16 +101,23 @@ def ssim(
     g = _gaussian_kernel1d(kernel_size, sigma)
 
     def blur(img):
-        # separable depthwise gaussian, VALID padding (matches msssim/MATLAB)
+        # separable depthwise gaussian, VALID padding (matches msssim/
+        # MATLAB). precision HIGHEST: TPU's default conv precision
+        # truncates fp32 operands to bf16 for the MXU, which would
+        # silently degrade every reported SSIM (round-5 fp64 oracle
+        # lesson); these 11-tap depthwise convs are metric code, not a
+        # hot path.
         C = img.shape[-1]
         kh = jnp.tile(g.reshape(kernel_size, 1, 1, 1), (1, 1, 1, C))
         kw = jnp.tile(g.reshape(1, kernel_size, 1, 1), (1, 1, 1, C))
         img = jax.lax.conv_general_dilated(
             img, kh, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+            precision=jax.lax.Precision.HIGHEST)
         img = jax.lax.conv_general_dilated(
             img, kw, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+            precision=jax.lax.Precision.HIGHEST)
         return img
 
     mu_x = blur(x)

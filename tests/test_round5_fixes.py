@@ -60,6 +60,10 @@ def test_pair_fused_blocks_match_single_blocks(monkeypatch):
     # fresh lambdas per trace: jax's jit cache is keyed on the function
     # OBJECT — reusing one callable would silently skip the second trace
     # and compare a compiled function against itself
+    # MIN_C=0: the shipping default (192) routes pairs only at the
+    # C>=192 stages where they measured faster; the tiny test model's
+    # dims are all smaller, so open the gate to exercise the kernel
+    monkeypatch.setenv("SUNET_PAIR_MIN_C", "0")
     monkeypatch.setenv("SUNET_PAIR_FUSE", "0")
     ref = jax.jit(lambda pp, xx: nnx.merge(gd, pp)(xx))(p, x)
     assert calls["pair"] == 0
@@ -102,6 +106,65 @@ def test_ssim_against_float64_scipy_oracle():
     # identical pair is exactly 1 under both
     same = np.asarray(ssim_per_sample(jnp.asarray(img), jnp.asarray(img)))
     np.testing.assert_allclose(same, 1.0, atol=1e-6)
+
+
+def test_fp32_model_lowers_with_highest_matmul_precision():
+    """round-5 fp64-oracle fix: compute_dtype float32 must mean FLOAT32.
+    TPU XLA's default matmul/conv precision truncates fp32 operands to
+    bf16 on the MXU — the whole 'fp32' parity forward ran at ~bf16 input
+    precision (uniform 1.1e-3 off the torch-fp64 oracle; 3.5e-8 after
+    the fix). Assert the fp32 model wraps its ops in HIGHEST precision
+    while the bf16 shipping path stays untouched."""
+    from sunet_tf_tpu.config import tiny_config
+    from sunet_tf_tpu.models.sunet import build_model
+
+    cfg = tiny_config()
+    counts = {}
+    for dt in ("float32", "bfloat16"):
+        c = cfg.replace(tpu=cfg.tpu.__class__(compute_dtype=dt,
+                                              attention_backend="xla"))
+        m = build_model(c, seed=0)
+        gd, p = nnx.split(m, nnx.Param)
+        txt = jax.jit(lambda pp, xx: nnx.merge(gd, pp)(xx)).lower(
+            p, jnp.zeros((1, 64, 64, 3), jnp.float32)).as_text()
+        counts[dt] = txt.count("HIGHEST")
+    assert counts["float32"] > 100, counts
+    assert counts["bfloat16"] < counts["float32"] // 4, counts
+
+
+def test_packed_pair_dataset_matches_png_pipeline(tmp_path):
+    """VERDICT r4 #2: the packed uint8 memmap shard loader (decode-free
+    epochs) must serve byte-identical pairs to the PNG PairDataset, honor
+    the train random-crop contract, and feed batch_iterator unchanged."""
+    from sunet_tf_tpu.data.packed import PackedPairDataset, pack_pair_dataset
+    from sunet_tf_tpu.data.pipeline import PairDataset, batch_iterator
+    from sunet_tf_tpu.data.synth import generate_dataset
+
+    root = str(tmp_path / "imgs")
+    generate_dataset(root, 6, 32, seed=3, pair_mode="awgn", sigma=25.0)
+    packed = str(tmp_path / "packed")
+    info = pack_pair_dataset(root, packed, 32)
+    assert info["n"] == 6
+
+    png = PairDataset(root, 32, train=False)
+    mm = PackedPairDataset(packed, 32, train=False)
+    assert len(mm) == len(png)
+    for i in range(6):
+        a, b, name = png.get(i)
+        c, d, name2 = mm.get(i)
+        assert name == name2
+        np.testing.assert_array_equal(a, c)
+        np.testing.assert_array_equal(b, d)
+
+    # train mode with a smaller patch: aligned random crops within bounds
+    mm_t = PackedPairDataset(packed, 16, train=True, seed=0)
+    ci, ct, _ = mm_t.get(0)
+    assert ci.shape == ct.shape == (16, 16, 3)
+
+    # batch_iterator takes it unchanged
+    batches = list(batch_iterator(mm, 4, shuffle=False))
+    assert batches[0]["input"].shape == (4, 32, 32, 3)
+    assert batches[0]["valid"].tolist() == [1.0] * 4
 
 
 def test_softmax_autoselect_model_numerics(monkeypatch):
