@@ -32,6 +32,12 @@ def main() -> None:
                     help="input resolution (default: config img_size)")
     ap.add_argument("--check", action="store_true",
                     help="reload the artifact and assert parity vs the live model")
+    ap.add_argument("--tiled", default=None,
+                    help="also export tiled canvas buckets for arbitrary-"
+                         "resolution serving: comma-separated XhxXw shapes "
+                         "(multiples of --tile-kernel), e.g. 512x768,512x512")
+    ap.add_argument("--tile-kernel", type=int, default=256)
+    ap.add_argument("--tile-stride", type=int, default=128)
     args = ap.parse_args()
 
     import jax
@@ -64,6 +70,39 @@ def main() -> None:
     print(f"exported {meta['batches']} @ {res}x{res} for platforms "
           f"{meta['platforms']} -> {args.out} "
           f"({', '.join(f'b{b}: {s/1e6:.2f} MB' for b, s in sizes.items())})")
+
+    if args.tiled:
+        from sunet_tf_tpu.infer.export import (
+            TiledServingModel,
+            save_exported_tiled,
+        )
+
+        buckets = [tuple(int(v) for v in b.split("x"))
+                   for b in args.tiled.split(",")]
+        tmeta = save_exported_tiled(
+            args.out, graphdef, params, buckets,
+            kernel=args.tile_kernel, stride=args.tile_stride,
+            in_chans=cfg.swinunet.in_chans)
+        print(f"exported tiled buckets {tmeta['buckets']} "
+              f"(kernel {args.tile_kernel}, stride {args.tile_stride})")
+        if args.check:
+            import numpy as np
+
+            from sunet_tf_tpu.infer.tiled import TiledRunner
+
+            Xh, Xw = buckets[0]
+            H, W = Xh - 7, Xw - 13  # force real pad/crop offsets
+            img = jax.random.uniform(jax.random.key(1), (1, H, W,
+                                                         cfg.swinunet.in_chans))
+            tsm = TiledServingModel(args.out)
+            got = tsm(params, img)
+            runner = TiledRunner(
+                lambda p, t: nnx.merge(graphdef, p)(t), params,
+                kernel=args.tile_kernel, stride=args.tile_stride)
+            live = runner(img)
+            tdiff = float(jnp.max(jnp.abs(got - live)))
+            print(f"check(tiled): reloaded-vs-live max|diff| = {tdiff:.2e}")
+            assert tdiff == 0.0, "tiled artifact diverges from live runner"
 
     if args.check:
         sm = ServingModel(args.out)
