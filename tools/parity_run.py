@@ -228,7 +228,10 @@ def main():
     # ---- per-image SSIM across frameworks (the reference eval protocol
     # is half SSIM, evaluation.m:61-64) — scored by the independent
     # float64 scipy oracle (tools/ssim_oracle.py, itself pinned against
-    # ops/image.py::ssim in tests) on clipped outputs
+    # ops/image.py::ssim in tests) on clipped outputs. Scored on RGB
+    # (channel-mean) for cross-framework comparison; the Trainer's
+    # val ssim is the evaluation.m GRAYSCALE protocol — the two are
+    # different statistics of the same outputs, not a discrepancy.
     from tools.ssim_oracle import ssim_oracle
 
     def clip01(a):
