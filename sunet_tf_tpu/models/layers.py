@@ -500,47 +500,64 @@ class SwinBlock(nnx.Module):
         return x
 
 
-def pair_fuse_eligible(blk_a: "SwinBlock", blk_b: "SwinBlock",
-                       x: jnp.ndarray) -> bool:
-    """True when two consecutive inference blocks can run as ONE W->SW
-    pair kernel (kernels/window_attention.py::fused_swin_block_pair):
-    both on the pallas path, a W-MSA (shift 0) followed by an SW-MSA,
-    same window, and the whole image fits one program (roll_fusable) so
-    the SW roll stays in VMEM. SUNET_PAIR_FUSE=0 opts out."""
+def chain_fusable_len(blocks, start: int, x: jnp.ndarray) -> int:
+    """Length K >= 2 of the maximal run of consecutive inference blocks
+    starting at ``start`` that can run as ONE chain kernel
+    (kernels/window_attention.py::fused_swin_block_chain), else 0.
+
+    Per-block conditions: pallas path, no ablation, same dim/window,
+    equal shift among the SW blocks; whole image fits one program
+    (roll_fusable) so the SW rolls stay in VMEM. Knobs: SUNET_PAIR_FUSE=0
+    disables; SUNET_CHAIN_MAX caps K (default 2 = W->SW pairs, the
+    measured-win configuration); SUNET_PAIR_MIN_C excludes small-C
+    stages (stage-0 measured SLOWER fused — see CLAUDE.md round-5
+    ledger: the ~15MB blockdiag score phases co-scheduled across blocks
+    cost more than the inter-block HBM crossing, which the grid pipeline
+    already fully overlaps)."""
     from sunet_tf_tpu.kernels.window_attention import roll_fusable
 
     if os.environ.get("SUNET_PAIR_FUSE", "1") == "0":
-        return False
+        return 0
+    kmax = int(os.environ.get("SUNET_CHAIN_MAX", "2"))
+    if kmax < 2:
+        return 0
     B, H, W, C = x.shape
     if C < int(os.environ.get("SUNET_PAIR_MIN_C", "192")):
-        # stage-0 geometry (C=96, 64x64): the pair kernel measured SLOWER
-        # than two singles (2.48 vs 1.08+1.20 ms, xprof b32) — the giant
-        # blockdiag score temporaries (~15MB) co-scheduled across two
-        # blocks cost more than the inter-block HBM crossing, which the
-        # grid pipeline already fully overlaps. C>=192 stages win/wash.
-        return False
-    return (blk_a.backend == "pallas" and blk_b.backend == "pallas"
-            and not blk_a.ablate and not blk_b.ablate
-            and blk_a.shift_size == 0 and blk_b.shift_size > 0
-            and blk_a.window_size == blk_b.window_size
-            and blk_a.dim == C and blk_b.dim == C
+        return 0
+    b0 = blocks[start]
+    if not (b0.backend == "pallas" and not b0.ablate and b0.dim == C
             and C <= _kernel_max_c(train=False)
-            and roll_fusable(H, W, C, blk_a.window_size, train=False,
-                             itemsize=x.dtype.itemsize))
+            and roll_fusable(H, W, C, b0.window_size, train=False,
+                             itemsize=x.dtype.itemsize)):
+        return 0
+    n = 1
+    ss = b0.shift_size or None
+    while start + n < len(blocks) and n < kmax:
+        b = blocks[start + n]
+        if not (b.backend == "pallas" and not b.ablate and b.dim == C
+                and b.window_size == b0.window_size):
+            break
+        if b.shift_size > 0:
+            if ss is None:
+                ss = b.shift_size
+            elif b.shift_size != ss:
+                break
+        n += 1
+    return n if n >= 2 else 0
 
 
-def run_fused_pair(blk_a: "SwinBlock", blk_b: "SwinBlock",
-                   x: jnp.ndarray) -> jnp.ndarray:
-    """Run a W-MSA + SW-MSA block pair through the single pair kernel
-    (gate with pair_fuse_eligible)."""
+def run_fused_chain(blocks, x: jnp.ndarray) -> jnp.ndarray:
+    """Run a list of consecutive Swin blocks through the single chain
+    kernel (gate with chain_fusable_len)."""
     from sunet_tf_tpu.kernels.window_attention import (
-        fused_swin_block_pair,
+        fused_swin_block_chain,
         softmax_autoselect,
     )
 
     B, H, W, C = x.shape
-    ws = blk_a.window_size
-    ss = blk_b.shift_size
+    ws = blocks[0].window_size
+    shifts = tuple(b.shift_size for b in blocks)
+    ss = max(shifts)
 
     def params(blk):
         a = blk.attn
@@ -555,13 +572,16 @@ def run_fused_pair(blk_a: "SwinBlock", blk_b: "SwinBlock",
                 blk.mlp.fc2.kernel[...].astype(x.dtype),
                 blk.mlp.fc2.bias[...])
 
-    a = blk_a.attn
+    nW = (H // ws) * (W // ws)
+    N = ws * ws
+    mask = (jnp.asarray(shift_attn_mask(H, W, ws, ss)) if ss > 0
+            else jnp.zeros((nW, N, N), jnp.float32))
+    a = blocks[0].attn
     with softmax_autoselect(a.scale, C // a.num_heads):
-        return fused_swin_block_pair(
-            x, params(blk_a), params(blk_b),
-            a.bias_matrix(), blk_b.attn.bias_matrix(),
-            jnp.asarray(shift_attn_mask(H, W, ws, ss)),
-            ws=ws, num_heads=a.num_heads, scale=a.scale, shift=ss)
+        return fused_swin_block_chain(
+            x, [params(b) for b in blocks],
+            [b.attn.bias_matrix() for b in blocks], mask,
+            ws=ws, num_heads=a.num_heads, scale=a.scale, shifts=shifts)
 
 
 class PatchMerging(nnx.Module):

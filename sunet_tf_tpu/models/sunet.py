@@ -105,8 +105,8 @@ class SwinStage(nnx.Module):
                 x = self.resample(x)
             return x
         from sunet_tf_tpu.models.layers import (
-            pair_fuse_eligible,
-            run_fused_pair,
+            chain_fusable_len,
+            run_fused_chain,
         )
 
         blocks = list(self.blocks)
@@ -114,14 +114,15 @@ class SwinStage(nnx.Module):
         while i < len(blocks):
             blk = blocks[i]
             bk = None if key is None else jax.random.fold_in(key, i)
-            # W->SW pair fusion (inference): two consecutive blocks as ONE
-            # Pallas program — the inter-block activation never crosses HBM
-            if (key is None and not self.use_checkpoint
-                    and i + 1 < len(blocks)
-                    and pair_fuse_eligible(blk, blocks[i + 1], x)):
-                x = run_fused_pair(blk, blocks[i + 1], x)
-                i += 2
-                continue
+            # Block-chain fusion (inference): K consecutive blocks as ONE
+            # Pallas program — inter-block activations never cross HBM
+            # (default K=2 W->SW pairs; SUNET_CHAIN_MAX raises)
+            if key is None and not self.use_checkpoint:
+                k = chain_fusable_len(blocks, i, x)
+                if k >= 2:
+                    x = run_fused_chain(blocks[i:i + k], x)
+                    i += k
+                    continue
             if self.use_checkpoint:
                 gd, params = nnx.split(blk, nnx.Param)
 

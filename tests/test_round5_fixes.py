@@ -42,13 +42,13 @@ def test_pair_fused_blocks_match_single_blocks(monkeypatch):
     from sunet_tf_tpu.models.sunet import build_model
 
     calls = {"pair": 0}
-    orig_pair = wa.fused_swin_block_pair
+    orig_chain = wa.fused_swin_block_chain
 
-    def counting_pair(*a, **k):
+    def counting_chain(*a, **k):
         calls["pair"] += 1
-        return orig_pair(*a, **k)
+        return orig_chain(*a, **k)
 
-    monkeypatch.setattr(wa, "fused_swin_block_pair", counting_pair)
+    monkeypatch.setattr(wa, "fused_swin_block_chain", counting_chain)
 
     cfg = tiny_config()
     cfg = cfg.replace(tpu=cfg.tpu.__class__(compute_dtype="float32",
